@@ -1,0 +1,254 @@
+"""DDS texture loading: header parse, BC1/BC3 (DXT1/DXT5) block decode,
+mip chains, cubemaps — plus BMP frames for the animated textures.
+
+Re-implements the capability of the reference's DDSTextureLoader
+(/root/reference/Common/DDSTextureLoader.cpp: header parse :147, format
+mapping :557, mip/subresource layout :897) for the formats actually present
+in the asset set (BC1/DXT1, BC3/DXT5, RGBA8/BGRA8 — verified by header
+inspection, SURVEY.md §3.5). Compressed textures are decoded to RGBA8 on
+the host at load time: TPUs sample from dense arrays, so decode-at-load is
+the tpu-native equivalent of the GPU's native BC sampler.
+
+The pure-numpy decoder is vectorized over blocks; a C++ fast path
+(native/asset_pipeline) can override `decode_bc1`/`decode_bc3` when built.
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+DDS_MAGIC = 0x20534444  # 'DDS '
+DDPF_FOURCC = 0x4
+DDPF_RGB = 0x40
+DDSCAPS2_CUBEMAP = 0x200
+DDSCAPS2_CUBEMAP_ALLFACES = 0xFC00
+
+
+@dataclass
+class DDSTexture:
+    """A loaded texture: list of mip levels, each (H, W, 4) uint8 RGBA.
+
+    For cubemaps ``faces`` holds 6 entries (+X, -X, +Y, -Y, +Z, -Z order,
+    i.e. D3D cubemap face order), each a list of mips.
+    """
+
+    mips: list = field(default_factory=list)
+    faces: list = field(default_factory=list)
+    is_cubemap: bool = False
+
+    @property
+    def width(self):
+        return (self.faces[0][0] if self.is_cubemap else self.mips[0]).shape[1]
+
+    @property
+    def height(self):
+        return (self.faces[0][0] if self.is_cubemap else self.mips[0]).shape[0]
+
+
+def _decode_rgb565(c: np.ndarray) -> np.ndarray:
+    """(N,) uint16 -> (N, 3) float32 in [0, 255]."""
+    r = ((c >> 11) & 0x1F).astype(np.float32) * (255.0 / 31.0)
+    g = ((c >> 5) & 0x3F).astype(np.float32) * (255.0 / 63.0)
+    b = (c & 0x1F).astype(np.float32) * (255.0 / 31.0)
+    return np.stack([r, g, b], axis=-1)
+
+
+def decode_bc1(data: bytes, width: int, height: int) -> np.ndarray:
+    """DXT1: 8-byte 4x4 blocks, 2 RGB565 endpoints + 2-bit indices.
+
+    Returns (H, W, 4) uint8. Handles the 1-bit-alpha mode (c0 <= c1).
+    """
+    bw, bh = (width + 3) // 4, (height + 3) // 4
+    arr = np.frombuffer(data, dtype="<u2", count=bw * bh * 4).reshape(bw * bh, 4)
+    c0, c1 = arr[:, 0], arr[:, 1]
+    bits = (arr[:, 2].astype(np.uint32) | (arr[:, 3].astype(np.uint32) << 16))
+    p0 = _decode_rgb565(c0)
+    p1 = _decode_rgb565(c1)
+    opaque = (c0 > c1)[:, None]
+    p2 = np.where(opaque, (2 * p0 + p1) / 3.0, (p0 + p1) / 2.0)
+    p3 = np.where(opaque, (p0 + 2 * p1) / 3.0, 0.0)
+    palette = np.stack([p0, p1, p2, p3], axis=1)  # (N, 4, 3)
+    alpha = np.ones((palette.shape[0], 4, 1), dtype=np.float32) * 255.0
+    alpha[:, 3, 0] = np.where(opaque[:, 0], 255.0, 0.0)
+    palette = np.concatenate([palette, alpha], axis=-1)  # (N, 4, 4)
+
+    shifts = (np.arange(16, dtype=np.uint32) * 2)[None, :]
+    idx = (bits[:, None] >> shifts) & 0x3  # (N, 16)
+    texels = np.take_along_axis(palette, idx[..., None].astype(np.int64), axis=1)
+    img = texels.reshape(bh, bw, 4, 4, 4).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(bh * 4, bw * 4, 4)[:height, :width]
+    return np.clip(img + 0.5, 0, 255).astype(np.uint8)
+
+
+def decode_bc3(data: bytes, width: int, height: int) -> np.ndarray:
+    """DXT5: 16-byte blocks = 8-byte interpolated alpha + BC1-style color."""
+    bw, bh = (width + 3) // 4, (height + 3) // 4
+    n = bw * bh
+    raw = np.frombuffer(data, dtype=np.uint8, count=n * 16).reshape(n, 16)
+    a0 = raw[:, 0].astype(np.float32)
+    a1 = raw[:, 1].astype(np.float32)
+    abits = np.zeros(n, dtype=np.uint64)
+    for i in range(6):
+        abits |= raw[:, 2 + i].astype(np.uint64) << np.uint64(8 * i)
+    shifts = (np.arange(16, dtype=np.uint64) * np.uint64(3))[None, :]
+    aidx = ((abits[:, None] >> shifts) & np.uint64(7)).astype(np.int64)  # (N,16)
+    gt = (a0 > a1)[:, None]
+    # palettes for the two alpha modes
+    k = np.arange(8, dtype=np.float32)
+    pal_gt = np.empty((n, 8), dtype=np.float32)
+    pal_gt[:, 0], pal_gt[:, 1] = a0, a1
+    for i in range(1, 7):
+        pal_gt[:, i + 1] = ((7 - i) * a0 + i * a1) / 7.0
+    pal_le = np.empty((n, 8), dtype=np.float32)
+    pal_le[:, 0], pal_le[:, 1] = a0, a1
+    for i in range(1, 5):
+        pal_le[:, i + 1] = ((5 - i) * a0 + i * a1) / 5.0
+    pal_le[:, 6] = 0.0
+    pal_le[:, 7] = 255.0
+    pal = np.where(gt, pal_gt, pal_le)
+    alpha = np.take_along_axis(pal, aidx, axis=1)  # (N, 16)
+
+    color = raw[:, 8:].copy().view("<u2").reshape(n, 4)
+    c0, c1 = color[:, 0], color[:, 1]
+    bits = color[:, 2].astype(np.uint32) | (color[:, 3].astype(np.uint32) << 16)
+    p0, p1 = _decode_rgb565(c0), _decode_rgb565(c1)
+    # BC3 color block always uses the 4-color (opaque) mode
+    palette = np.stack([p0, p1, (2 * p0 + p1) / 3.0, (p0 + 2 * p1) / 3.0], axis=1)
+    cshifts = (np.arange(16, dtype=np.uint32) * 2)[None, :]
+    cidx = ((bits[:, None] >> cshifts) & 0x3).astype(np.int64)
+    rgb = np.take_along_axis(palette, cidx[..., None], axis=1)  # (N, 16, 3)
+    texels = np.concatenate([rgb, alpha[..., None]], axis=-1)
+    img = texels.reshape(bh, bw, 4, 4, 4).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(bh * 4, bw * 4, 4)[:height, :width]
+    return np.clip(img + 0.5, 0, 255).astype(np.uint8)
+
+
+def _decode_uncompressed(data: bytes, width: int, height: int, pf) -> np.ndarray:
+    bpp = pf["rgb_bit_count"]
+    assert bpp == 32, f"unsupported uncompressed bpp {bpp}"
+    raw = np.frombuffer(data, dtype=np.uint8, count=width * height * 4)
+    raw = raw.reshape(height, width, 4)
+    out = np.empty_like(raw)
+    masks = [pf["r_mask"], pf["g_mask"], pf["b_mask"], pf["a_mask"]]
+    u32 = raw.view("<u4")[..., 0]
+    for ch, mask in enumerate(masks):
+        if mask == 0:
+            out[..., ch] = 255
+            continue
+        shift = (mask & -mask).bit_length() - 1
+        width_bits = int(mask >> shift).bit_length()
+        vals = (u32 >> shift) & (mask >> shift)
+        if width_bits < 8:
+            vals = (vals * 255) // ((1 << width_bits) - 1)
+        out[..., ch] = vals.astype(np.uint8)
+    return out
+
+
+def _mip_dims(w, h, level):
+    return max(w >> level, 1), max(h >> level, 1)
+
+
+def _level_bytes(w, h, fourcc, bpp):
+    if fourcc == b"DXT1":
+        return ((w + 3) // 4) * ((h + 3) // 4) * 8
+    if fourcc in (b"DXT3", b"DXT5"):
+        return ((w + 3) // 4) * ((h + 3) // 4) * 16
+    return w * h * (bpp // 8)
+
+
+def load_dds(path: str) -> DDSTexture:
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, = struct.unpack_from("<I", data, 0)
+    assert magic == DDS_MAGIC, f"{path}: not a DDS file"
+    (size, flags, height, width, pitch, depth, mip_count) = struct.unpack_from(
+        "<7I", data, 4
+    )
+    mip_count = max(mip_count, 1)
+    # pixel format at offset 4+72
+    (pf_size, pf_flags, fourcc, rgb_bit_count, r_mask, g_mask, b_mask,
+     a_mask) = struct.unpack_from("<II4sIIIII", data, 4 + 72)
+    caps1, caps2 = struct.unpack_from("<II", data, 4 + 104)
+    pf = dict(rgb_bit_count=rgb_bit_count, r_mask=r_mask, g_mask=g_mask,
+              b_mask=b_mask, a_mask=a_mask)
+    offset = 4 + 124
+    if pf_flags & DDPF_FOURCC and fourcc == b"DX10":
+        raise NotImplementedError("DX10 extended header not present in assets")
+
+    is_cube = bool(caps2 & DDSCAPS2_CUBEMAP)
+    num_faces = 6 if is_cube else 1
+    compressed = bool(pf_flags & DDPF_FOURCC)
+
+    tex = DDSTexture(is_cubemap=is_cube)
+    pos = offset
+    for _ in range(num_faces):
+        mips = []
+        for level in range(mip_count):
+            w, h = _mip_dims(width, height, level)
+            nbytes = _level_bytes(w, h, fourcc if compressed else None,
+                                  rgb_bit_count)
+            chunk = data[pos:pos + nbytes]
+            pos += nbytes
+            if compressed and fourcc == b"DXT1":
+                img = decode_bc1(chunk, w, h)
+            elif compressed and fourcc == b"DXT5":
+                img = decode_bc3(chunk, w, h)
+            elif compressed:
+                raise NotImplementedError(f"fourCC {fourcc!r}")
+            else:
+                img = _decode_uncompressed(chunk, w, h, pf)
+            mips.append(img)
+        if is_cube:
+            tex.faces.append(mips)
+        else:
+            tex.mips = mips
+    return tex
+
+
+def generate_mips(base: np.ndarray) -> list:
+    """Box-filter mip chain down to 1x1 (for textures shipped mipless)."""
+    mips = [base]
+    cur = base.astype(np.float32)
+    while cur.shape[0] > 1 or cur.shape[1] > 1:
+        h = max(cur.shape[0] // 2, 1)
+        w = max(cur.shape[1] // 2, 1)
+        cur2 = cur[: h * 2, : w * 2]
+        if cur.shape[0] > 1 and cur.shape[1] > 1:
+            cur = 0.25 * (cur2[0::2, 0::2] + cur2[1::2, 0::2]
+                          + cur2[0::2, 1::2] + cur2[1::2, 1::2])
+        elif cur.shape[0] > 1:
+            cur = 0.5 * (cur2[0::2] + cur2[1::2])
+        else:
+            cur = 0.5 * (cur2[:, 0::2] + cur2[:, 1::2])
+        mips.append(np.clip(cur + 0.5, 0, 255).astype(np.uint8))
+    return mips
+
+
+def load_bmp(path: str) -> np.ndarray:
+    """Minimal BMP loader (24-bit uncompressed) for BoltAnim/FireAnim frames."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:2] == b"BM", f"{path}: not a BMP"
+    pix_offset, = struct.unpack_from("<I", data, 10)
+    header_size, = struct.unpack_from("<I", data, 14)
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression, = struct.unpack_from("<I", data, 30)
+    assert compression == 0 and bpp in (24, 32), f"{path}: unsupported BMP"
+    flip = height > 0
+    height = abs(height)
+    row_bytes = ((width * (bpp // 8) + 3) // 4) * 4
+    raw = np.frombuffer(data, dtype=np.uint8, count=row_bytes * height,
+                        offset=pix_offset)
+    raw = raw.reshape(height, row_bytes)[:, : width * (bpp // 8)]
+    raw = raw.reshape(height, width, bpp // 8)
+    if flip:
+        raw = raw[::-1]
+    rgba = np.empty((height, width, 4), dtype=np.uint8)
+    rgba[..., 0] = raw[..., 2]  # BGR -> RGB
+    rgba[..., 1] = raw[..., 1]
+    rgba[..., 2] = raw[..., 0]
+    rgba[..., 3] = raw[..., 3] if bpp == 32 else 255
+    return rgba

@@ -1,0 +1,44 @@
+"""Render configuration.
+
+Replaces the reference's compile-time constants (gNumFrameResources,
+shadow resolution, cascade radii, blur count, deferred/culling toggles —
+/root/reference/CRYCHIC.h:20-21,188-189, CRYCHIC.cpp:49,221) with one
+dataclass. Fields marked static shape the compiled XLA program.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 1920
+    height: int = 1080
+    shadow_map_size: int = 2048  # reference builds 4096 (CRYCHIC.cpp:49);
+    # BASELINE.json's graded configs specify 2048^2
+    num_cascades: int = 4
+    ssao_enabled: bool = True
+    ssao_blur_count: int = 3  # CRYCHIC.cpp:221
+    shadows_enabled: bool = True
+    deferred: bool = True  # CRYCHIC.h:189 isDeferred
+    frustum_culling: bool = True  # CRYCHIC.h:188
+    sky_enabled: bool = True
+    # rasterizer sizing (static): capacity of the pair expansion and the
+    # per-tile bin. Oversize for safety; overflow is reported by bin stats.
+    pair_capacity: int = 1 << 19
+    bin_cap: int = 1024
+    shadow_pair_capacity: int = 1 << 19
+    shadow_bin_cap: int = 512
+    # lighting config (shader #defines in the reference)
+    num_dir_lights: int = 3
+    num_point_lights: int = 0
+    num_spot_lights: int = 0
+    use_pbr: bool = True  # PBRShading vs ComputeLighting (Default.hlsl:163-165)
+
+    @property
+    def ssao_width(self):
+        return self.width // 2
+
+    @property
+    def ssao_height(self):
+        return self.height // 2

@@ -50,6 +50,7 @@ class Bins(NamedTuple):
     order: jnp.ndarray  # (P,) int32 pair -> triangle id (sorted by tile)
     starts: jnp.ndarray  # (num_tiles,) int32 first pair of each tile
     counts: jnp.ndarray  # (num_tiles,) int32 pairs per tile
+    sorted_tile: jnp.ndarray  # (P,) int32 tile id per sorted pair
     num_valid: jnp.ndarray  # () int32 total valid pairs
     overflowed: jnp.ndarray  # () bool — pair capacity exceeded
 
@@ -100,20 +101,21 @@ def setup_triangles(clip_verts: jnp.ndarray, indices: jnp.ndarray,
     return ScreenTris(xy=xy, z=z, inv_w=inv_w, valid=valid)
 
 
-def _tile_bbox(tris: ScreenTris, width: int, height: int):
+def _tile_bbox(tris: ScreenTris, width: int, height: int,
+               tile_h: int, tile_w: int):
     """Per-triangle inclusive tile bbox (tx0, ty0, bw, bh); bw/bh==0 if culled."""
-    ntx = -(-width // TILE_W)
-    nty = -(-height // TILE_H)
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
     xmin = tris.xy[..., 0].min(axis=-1)
     xmax = tris.xy[..., 0].max(axis=-1)
     ymin = tris.xy[..., 1].min(axis=-1)
     ymax = tris.xy[..., 1].max(axis=-1)
     # pixel centers are at +0.5: a triangle covers pixel columns
     # ceil(xmin-0.5)..floor(xmax-0.5); conservative tile bounds below.
-    tx0 = jnp.clip(jnp.floor(xmin / TILE_W).astype(jnp.int32), 0, ntx - 1)
-    tx1 = jnp.clip(jnp.floor((xmax - 1e-6) / TILE_W).astype(jnp.int32), 0, ntx - 1)
-    ty0 = jnp.clip(jnp.floor(ymin / TILE_H).astype(jnp.int32), 0, nty - 1)
-    ty1 = jnp.clip(jnp.floor((ymax - 1e-6) / TILE_H).astype(jnp.int32), 0, nty - 1)
+    tx0 = jnp.clip(jnp.floor(xmin / tile_w).astype(jnp.int32), 0, ntx - 1)
+    tx1 = jnp.clip(jnp.floor((xmax - 1e-6) / tile_w).astype(jnp.int32), 0, ntx - 1)
+    ty0 = jnp.clip(jnp.floor(ymin / tile_h).astype(jnp.int32), 0, nty - 1)
+    ty1 = jnp.clip(jnp.floor((ymax - 1e-6) / tile_h).astype(jnp.int32), 0, nty - 1)
     offscreen = (xmax < 0) | (xmin >= width) | (ymax < 0) | (ymin >= height)
     keep = tris.valid & ~offscreen
     bw = jnp.where(keep, tx1 - tx0 + 1, 0)
@@ -122,14 +124,18 @@ def _tile_bbox(tris: ScreenTris, width: int, height: int):
 
 
 def bin_triangles(tris: ScreenTris, width: int, height: int,
-                  pair_capacity: int) -> Bins:
+                  pair_capacity: int, tile_h: int = None,
+                  tile_w: int = None) -> Bins:
     """Exact tile binning with static shapes.
 
     Expands each triangle into (tile, tri) pairs via an exclusive-cumsum +
     searchsorted trick (no per-triangle loop, no per-triangle cap), sorts
     pairs by tile id, and returns per-tile contiguous runs.
     """
-    tx0, ty0, bw, bh, ntx, nty = _tile_bbox(tris, width, height)
+    tile_h = TILE_H if tile_h is None else tile_h
+    tile_w = TILE_W if tile_w is None else tile_w
+    tx0, ty0, bw, bh, ntx, nty = _tile_bbox(tris, width, height,
+                                            tile_h, tile_w)
     num_tiles = ntx * nty
     counts = (bw * bh).astype(jnp.int32)
     offsets = jnp.cumsum(counts) - counts  # exclusive
@@ -153,6 +159,7 @@ def bin_triangles(tris: ScreenTris, width: int, height: int,
     starts = jnp.searchsorted(sorted_tile, tile_range, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sorted_tile, tile_range, side="right").astype(jnp.int32)
     return Bins(order=order, starts=starts, counts=ends - starts,
+                sorted_tile=sorted_tile.astype(jnp.int32),
                 num_valid=jnp.minimum(total, pair_capacity),
                 overflowed=total > pair_capacity)
 
@@ -196,7 +203,7 @@ def barycentrics_at(xy: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
     b = xy[..., [2, 0, 1], :]
     E = ((b[..., 0] - a[..., 0]) * (py[..., None] - a[..., 1])
          - (b[..., 1] - a[..., 1]) * (px[..., None] - a[..., 0]))
-    area2 = E.sum(axis=-1)
+    area2 = E.sum(axis=-1, keepdims=True)
     return E / jnp.where(area2 == 0, 1.0, area2)
 
 

@@ -1,0 +1,182 @@
+"""SSAO: 14-sample hemisphere occlusion at half resolution + edge-preserving
+separable bilateral blur.
+
+Re-implements /root/reference/Shaders/Ssao.hlsl (view-ray reconstruction,
+random-vector reflection, linear occlusion falloff, pow-6 sharpening) and
+SsaoBlur.hlsl (radius-5 Gaussian, normal/depth edge stop, weight
+renormalization), plus the host-side setup from Ssao.cpp: the 14
+cube-corner/face offset vectors with MSVC-rand lengths (Ssao.cpp:423-461),
+the 256x256 random-vector texture (:352-421), and sigma-2.5 Gaussian
+weights (:37-68). The SSAO map is half-resolution (Ssao.cpp:22-30); the
+depth sampler has an opaque-white border (off-screen depth = 1).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils.msvcrand import MsvcRand
+
+
+def build_offset_vectors() -> np.ndarray:
+    """14 offsets: 8 cube corners + 6 face centers, random length
+    [0.25, 1] from the MSVC rand stream (Ssao.cpp:423-461)."""
+    base = np.array(
+        [
+            [+1, +1, +1], [-1, -1, -1], [-1, +1, +1], [+1, -1, -1],
+            [+1, +1, -1], [-1, -1, +1], [-1, +1, -1], [+1, -1, +1],
+            [-1, 0, 0], [+1, 0, 0], [0, -1, 0], [0, +1, 0],
+            [0, 0, -1], [0, 0, +1],
+        ],
+        dtype=np.float32,
+    )
+    rnd = MsvcRand(seed=1)
+    out = np.zeros((14, 3), np.float32)
+    for i in range(14):
+        s = rnd.randf_range(0.25, 1.0)
+        v = base[i] / np.linalg.norm(base[i])
+        out[i] = s * v
+    return out
+
+
+def build_random_vector_texture() -> np.ndarray:
+    """256^2 RGBA8-quantized random vectors in [0,1] (Ssao.cpp:352-421).
+
+    The reference fills it from the same global MSVC rand stream right
+    after the offset vectors; XMCOLOR quantizes to 8 bits per channel.
+    """
+    rnd = MsvcRand(seed=1)
+    for _ in range(14):
+        rnd.randf_range(0.25, 1.0)  # consume the offset-vector draws
+    tex = np.zeros((256, 256, 3), np.float32)
+    for i in range(256):
+        for j in range(256):
+            v = (rnd.randf(), rnd.randf(), rnd.randf())
+            tex[i, j] = v
+    tex = np.round(np.clip(tex, 0, 1) * 255.0) / 255.0
+    return tex.astype(np.float32)
+
+
+def calc_gauss_weights(sigma: float = 2.5) -> np.ndarray:
+    """Ssao.cpp:37-68: normalized Gaussian, radius = ceil(2*sigma) = 5."""
+    radius = int(np.ceil(2.0 * sigma))
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    w = np.exp(-x * x / (2.0 * sigma * sigma))
+    return (w / w.sum()).astype(np.float32)
+
+
+def ndc_depth_to_view(z_ndc, proj_22, proj_32):
+    """Ssao.hlsl:110-115: viewZ = B / (z_ndc - A), A=proj[2][2], B=proj[3][2]."""
+    return proj_32 / (z_ndc - proj_22)
+
+
+def _sample_depth_border_white(depth_map, u, v):
+    """Point-ish depth fetch with opaque-white border (off-screen = 1.0).
+
+    The reference's depth sampler is linear, but depth maps are sampled at
+    matching resolution here; nearest keeps the comparison crisp.
+    """
+    H, W = depth_map.shape
+    x = jnp.floor(u * W).astype(jnp.int32)
+    y = jnp.floor(v * H).astype(jnp.int32)
+    inb = (x >= 0) & (x < W) & (y >= 0) & (y < H)
+    x = jnp.clip(x, 0, W - 1)
+    y = jnp.clip(y, 0, H - 1)
+    d = depth_map[y, x]
+    return jnp.where(inb, d, 1.0)
+
+
+def ssao_occlusion(normal_v, depth_ndc, proj, inv_proj, offsets, random_tex,
+                   occlusion_radius=0.5, fade_start=0.2, fade_end=1.0,
+                   surface_eps=0.05):
+    """Half-res SSAO occlusion pass (Ssao.hlsl PS).
+
+    normal_v: (h, w, 3) view-space normals (half-res); depth_ndc: (h, w)
+    main depth downsampled to half-res; proj/inv_proj: (4, 4) row-vector.
+    Returns (h, w) ambient access in [0, 1].
+    """
+    h, w = depth_ndc.shape
+    A22, B32 = proj[2, 2], proj[3, 2]
+
+    # view-space ray through each pixel (quad corners -> inv proj)
+    uu = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    vv = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    U, V = jnp.meshgrid(uu, vv)  # 'xy' indexing: both (h, w)
+    ndc = jnp.stack([2 * U - 1, 1 - 2 * V, jnp.zeros_like(U),
+                     jnp.ones_like(U)], axis=-1)
+    ph = ndc @ inv_proj
+    pos_v_ray = ph[..., :3] / ph[..., 3:4]
+
+    pz = ndc_depth_to_view(depth_ndc, A22, B32)
+    p = (pz / pos_v_ray[..., 2])[..., None] * pos_v_ray
+
+    # random vector: texture tiled 4x over screen uv, linear-wrap sampled
+    rt = random_tex  # (256, 256, 3)
+    ru = (U * 4.0) % 1.0
+    rv = (V * 4.0) % 1.0
+    rx = jnp.clip((ru * 256).astype(jnp.int32), 0, 255)
+    ry = jnp.clip((rv * 256).astype(jnp.int32), 0, 255)
+    rand_vec = 2.0 * rt[ry, rx] - 1.0
+
+    n = normal_v / jnp.maximum(
+        jnp.sqrt((normal_v ** 2).sum(-1, keepdims=True)), 1e-8)
+
+    occlusion_sum = jnp.zeros_like(pz)
+    fade_len = fade_end - fade_start
+    for i in range(offsets.shape[0]):
+        off = jnp.asarray(offsets[i])
+        # reflect(offset, randVec) = off - 2*dot(off, rv)*rv
+        refl = off - 2.0 * (rand_vec * off).sum(-1, keepdims=True) * rand_vec
+        flip = jnp.sign((refl * n).sum(-1, keepdims=True))
+        q = p + flip * occlusion_radius * refl
+        # project q with proj, into texture space (u = x*0.5+0.5, v flip)
+        qh = jnp.concatenate([q, jnp.ones_like(q[..., :1])], -1) @ proj
+        qn = qh[..., :3] / jnp.maximum(qh[..., 3:4], 1e-8)
+        qu = qn[..., 0] * 0.5 + 0.5
+        qv = -qn[..., 1] * 0.5 + 0.5
+        rz_ndc = _sample_depth_border_white(depth_ndc, qu, qv)
+        rz = ndc_depth_to_view(rz_ndc, A22, B32)
+        r = (rz / jnp.where(q[..., 2] == 0, 1e-8, q[..., 2]))[..., None] * q
+        dist_z = p[..., 2] - r[..., 2]
+        rp = r - p
+        dp = jnp.maximum(
+            (n * rp).sum(-1)
+            / jnp.maximum(jnp.sqrt((rp ** 2).sum(-1)), 1e-8), 0.0)
+        occ = jnp.where(dist_z > surface_eps,
+                        jnp.clip((fade_end - dist_z) / fade_len, 0.0, 1.0),
+                        0.0)
+        occlusion_sum = occlusion_sum + dp * occ
+
+    access = 1.0 - occlusion_sum / offsets.shape[0]
+    return jnp.clip(access, 0.0, 1.0) ** 6
+
+
+def bilateral_blur(ambient, normal_v, depth_view, weights, horizontal: bool):
+    """SsaoBlur.hlsl PS: radius-5 separable Gaussian with edge stopping
+    (reject neighbor if dot(normals) < 0.8 or |view depth diff| > 0.2),
+    renormalized by accepted weight."""
+    radius = (len(weights) - 1) // 2
+    axis = 1 if horizontal else 0
+    acc = weights[radius] * ambient
+    total = jnp.full_like(ambient, weights[radius])
+    n_c = normal_v
+    d_c = depth_view
+    for i in range(-radius, radius + 1):
+        if i == 0:
+            continue
+        a_n = _shift_clamp(ambient, i, axis)
+        n_n = _shift_clamp(normal_v, i, axis)
+        d_n = _shift_clamp(depth_view, i, axis)
+        ok = (((n_n * n_c).sum(-1) >= 0.8)
+              & (jnp.abs(d_n - d_c) <= 0.2)).astype(ambient.dtype)
+        wgt = weights[i + radius] * ok
+        acc = acc + wgt * a_n
+        total = total + wgt
+    return acc / total
+
+
+def _shift_clamp(img, offset, axis):
+    """Shift with clamp-to-edge (the blur samples with pointClamp)."""
+    n = img.shape[axis]
+    idx = jnp.clip(jnp.arange(n) + offset, 0, n - 1)
+    return jnp.take(img, idx, axis=axis)

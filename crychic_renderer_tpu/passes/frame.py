@@ -1,0 +1,473 @@
+"""The functional frame pipeline.
+
+The D3D12 mutable-resource command-list model of CRYCHIC::Draw
+(/root/reference/CRYCHIC.cpp:172-436) becomes one pure jitted function::
+
+    render_frame(scene_device, frame_consts) -> (H, W, 4) image
+
+with every render target an intermediate array. Pass order preserved from
+the reference's deferred branch (SURVEY.md §1 data flow):
+
+    [1] 4x cascade shadow depth renders       (DrawSceneToShadowMap)
+    [2] normal/depth                          (DrawNormalsAndDepth)
+    [3] SSAO occlusion (half-res) + 3x blur   (Ssao::ComputeSsao)
+    [4] G-buffer                              (DrawGBuffer)
+    [5] deferred PBR lighting + cascade PCF + ambient*SSAO + sky
+        reflection, then sky pass             (CRYCHIC.cpp:238-279)
+
+TPU-first deviations (same output, different schedule):
+- One visibility-buffer rasterization feeds passes [2], [4] and the main
+  depth: the reference rasterizes the scene 3x (normals, G-buffer, deferred
+  re-shade with DEPTH_EQUAL); with a functional pipeline those are all
+  reads of the same (depth, triangle-id) buffer.
+- Vertex transforms for all instances run as one dense einsum (MXU).
+- Barriers/PSOs/descriptor heaps have no equivalent: data dependence is
+  explicit in the dataflow graph.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..ops import rasterizer as rz
+from ..ops import sampling, shading, shadows, ssao as ssao_ops
+from ..models import cascades as casc
+
+
+# ---------------------------------------------------------------------------
+# Device-side containers (registered as pytrees via dataclass + tree_util)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceDraw:
+    """Flattened draw buffers on device (see models.scene.DrawBuffers)."""
+
+    positions: jnp.ndarray  # (V, 3)
+    normals: jnp.ndarray
+    tangents: jnp.ndarray
+    uvs: jnp.ndarray
+    vertex_instance: jnp.ndarray  # (V,) int32
+    indices: jnp.ndarray  # (3T,) int32
+    worlds: jnp.ndarray  # (D, 4, 4)
+    tex_transforms: jnp.ndarray  # (D, 4, 4)
+    material_indices: jnp.ndarray  # (D,) int32
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f.name)
+                     for f in dataclasses.fields(self)), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @staticmethod
+    def from_host(d):
+        return DeviceDraw(
+            positions=jnp.asarray(d.positions),
+            normals=jnp.asarray(d.normals),
+            tangents=jnp.asarray(d.tangents),
+            uvs=jnp.asarray(d.uvs),
+            vertex_instance=jnp.asarray(d.vertex_instance),
+            indices=jnp.asarray(d.indices),
+            worlds=jnp.asarray(d.worlds),
+            tex_transforms=jnp.asarray(d.tex_transforms),
+            material_indices=jnp.asarray(d.material_indices),
+        )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceScene:
+    opaque: DeviceDraw
+    shadow: DeviceDraw
+    # material bank
+    mat_albedo: jnp.ndarray  # (M, 4)
+    mat_fresnel: jnp.ndarray  # (M, 3)
+    mat_roughness: jnp.ndarray  # (M,)
+    mat_metalness: jnp.ndarray  # (M,)
+    mat_transform: jnp.ndarray  # (M, 4, 4)
+    mat_diffuse_tex: jnp.ndarray  # (M,) int32
+    mat_normal_tex: jnp.ndarray  # (M,) int32
+    # textures
+    tex_data: jnp.ndarray
+    tex_offset: jnp.ndarray
+    tex_dims: jnp.ndarray
+    tex_num_mips: jnp.ndarray
+    cubemap: jnp.ndarray  # (6, S, S, 4)
+    # lights
+    light_strength: jnp.ndarray  # (16, 3)
+    light_direction: jnp.ndarray
+    light_position: jnp.ndarray
+    light_falloff_start: jnp.ndarray
+    light_falloff_end: jnp.ndarray
+    light_spot_power: jnp.ndarray
+    ambient: jnp.ndarray  # (4,)
+    # ssao setup
+    ssao_offsets: jnp.ndarray  # (14, 3)
+    ssao_random_tex: jnp.ndarray  # (256, 256, 3)
+    ssao_blur_weights: jnp.ndarray  # (11,)
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f.name)
+                     for f in dataclasses.fields(self)), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def texture_pool(self):
+        return sampling.TexturePool(self.tex_data, self.tex_offset,
+                                    self.tex_dims, self.tex_num_mips)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class FrameConstants:
+    """Per-frame uniforms (the reference's PassConstants,
+    FrameResource.h:29-51, minus what's derivable)."""
+
+    view: jnp.ndarray  # (4, 4)
+    proj: jnp.ndarray
+    view_proj: jnp.ndarray
+    inv_proj: jnp.ndarray
+    eye_pos: jnp.ndarray  # (3,)
+    cascade_view_projs: jnp.ndarray  # (4, 4, 4) light-space VPs
+    shadow_transforms: jnp.ndarray  # (4, 4, 4) world -> shadow uv/z
+    opaque_visibility: jnp.ndarray  # (D_opaque,) f32 1/0 cull mask
+    shadow_visibility: jnp.ndarray  # (D_shadow,) f32
+    total_time: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.float32(0.0))
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f.name)
+                     for f in dataclasses.fields(self)), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@dataclasses.dataclass
+class LightConfig:
+    """Static light counts (shader #defines in the reference)."""
+
+    num_dir: int
+    num_point: int
+    num_spot: int
+
+
+class _LightsView:
+    """Adapter presenting DeviceScene light arrays with static counts to
+    ops.shading functions."""
+
+    def __init__(self, scene: DeviceScene, cfg: RenderConfig):
+        self.strength = scene.light_strength
+        self.direction = scene.light_direction
+        self.position = scene.light_position
+        self.falloff_start = scene.light_falloff_start
+        self.falloff_end = scene.light_falloff_end
+        self.spot_power = scene.light_spot_power
+        self.num_dir = cfg.num_dir_lights
+        self.num_point = cfg.num_point_lights
+        self.num_spot = cfg.num_spot_lights
+
+
+# ---------------------------------------------------------------------------
+# Vertex stage
+# ---------------------------------------------------------------------------
+
+def vertex_stage(draw: DeviceDraw, visibility: jnp.ndarray,
+                 view_proj: jnp.ndarray, mat_transform: jnp.ndarray):
+    """All instances' vertices -> world space + clip space + final UVs.
+
+    The VS of Default.hlsl/GeometryPass.hlsl:22-42 for every (item,
+    instance) pair at once. Culled instances get clip w = 0, which the
+    rasterizer's near-plane test discards (functional equivalent of the
+    reference's instance-buffer compaction, CRYCHIC.cpp:528-553).
+    """
+    W = draw.worlds[draw.vertex_instance]  # (V, 4, 4)
+    ph = jnp.concatenate(
+        [draw.positions, jnp.ones_like(draw.positions[..., :1])], axis=-1)
+    pos_w = jnp.einsum("vi,vij->vj", ph, W)[:, :3]
+    nrm_w = jnp.einsum("vi,vij->vj", draw.normals, W[:, :3, :3])
+    tan_w = jnp.einsum("vi,vij->vj", draw.tangents, W[:, :3, :3])
+
+    pos_wh = jnp.concatenate([pos_w, jnp.ones_like(pos_w[..., :1])], -1)
+    clip = pos_wh @ view_proj
+    vis_v = visibility[draw.vertex_instance]
+    clip = clip * vis_v[:, None]
+
+    # uv: (u, v, 0, 1) @ TexTransform @ MatTransform (Default.hlsl:69-70)
+    uvh = jnp.concatenate(
+        [draw.uvs, jnp.zeros_like(draw.uvs[..., :1]),
+         jnp.ones_like(draw.uvs[..., :1])], axis=-1)
+    T = draw.tex_transforms[draw.vertex_instance]
+    M = mat_transform[draw.material_indices[draw.vertex_instance]]
+    uv = jnp.einsum("vi,vij->vj", jnp.einsum("vi,vij->vj", uvh, T), M)[:, :2]
+    return pos_w, nrm_w, tan_w, uv, clip
+
+
+def shadow_clip(draw: DeviceDraw, visibility: jnp.ndarray,
+                cascade_vp: jnp.ndarray):
+    """World positions of shadow casters projected by one cascade VP."""
+    W = draw.worlds[draw.vertex_instance]
+    ph = jnp.concatenate(
+        [draw.positions, jnp.ones_like(draw.positions[..., :1])], axis=-1)
+    pos_w = jnp.einsum("vi,vij->vj", ph, W)
+    clip = pos_w @ cascade_vp
+    return clip * visibility[draw.vertex_instance][:, None]
+
+
+# ---------------------------------------------------------------------------
+# Shadow pass
+# ---------------------------------------------------------------------------
+
+def render_shadow_maps(scene: DeviceScene, consts: FrameConstants,
+                       cfg: RenderConfig) -> jnp.ndarray:
+    """4 cascade depth-only renders -> (4, S, S) float32 depth.
+
+    Depth bias replicates the shadow PSO's rasterizer state
+    (CRYCHIC.cpp:1601-1603): constant bias 10000 (of 2^24 UNORM steps) +
+    slope-scaled 2.0, applied per triangle from its depth plane slopes.
+    """
+    S = cfg.shadow_map_size
+
+    def one_cascade(vp):
+        clip = shadow_clip(scene.shadow, consts.shadow_visibility, vp)
+        tris = rz.setup_triangles(clip, scene.shadow.indices, S, S)
+        # depth bias (applied to the per-vertex z: plane slopes shift equally)
+        A, B, C, area2, _ = rz._edge_coeffs(tris.xy)
+        inv_a2 = 1.0 / jnp.where(area2 == 0, 1.0, area2)
+        zA = (A * tris.z * inv_a2[:, None]).sum(-1)
+        zB = (B * tris.z * inv_a2[:, None]).sum(-1)
+        max_slope = jnp.maximum(jnp.abs(zA), jnp.abs(zB))
+        bias = 10000.0 / (1 << 24) + 2.0 * max_slope
+        tris = tris._replace(z=jnp.clip(tris.z + bias[:, None], 0.0, 1.0))
+        bins = rz.bin_triangles(tris, S, S, cfg.shadow_pair_capacity)
+        depth, _ = rz.rasterize_binned(tris, bins, S, S, cfg.shadow_bin_cap,
+                                       with_ids=False)
+        return depth
+
+    return jax.vmap(one_cascade)(consts.cascade_view_projs)
+
+
+# ---------------------------------------------------------------------------
+# Geometry / attribute interpolation (the visibility-buffer resolve)
+# ---------------------------------------------------------------------------
+
+def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
+                    cfg: RenderConfig, tris: rz.ScreenTris,
+                    depth: jnp.ndarray, tid: jnp.ndarray,
+                    pos_w: jnp.ndarray, nrm_w: jnp.ndarray,
+                    tan_w: jnp.ndarray, uv: jnp.ndarray):
+    """Gather the winning triangle's vertex data per pixel and build the
+    G-buffer (GeometryPass.hlsl PS + GBuffer.hlsl encode, fused with the
+    DrawNormals.hlsl view-space-normal output).
+
+    Returns dict with posW (H,W,3), normalW bumped (H,W,3), normalV view
+    (H,W,3), albedo (H,W,4), roughness, metalness (H,W,1), valid (H,W).
+    """
+    H, W = depth.shape
+    valid = tid >= 0
+    safe_tid = jnp.maximum(tid, 0)
+
+    tri_idx = scene.opaque.indices.reshape(-1, 3)  # (T, 3)
+    vids = tri_idx[safe_tid]  # (H, W, 3)
+
+    # perspective-correct barycentrics from the screen-space vertex data
+    xy = tris.xy[safe_tid]  # (H, W, 3, 2)
+    inv_w = tris.inv_w[safe_tid]  # (H, W, 3)
+    px = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :].repeat(H, 0)
+    py = (jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None].repeat(W, 1)
+    b = rz.barycentrics_at(xy, px, py)  # (H, W, 3) screen-space
+    wgt = b * inv_w
+    wgt = wgt / jnp.maximum(wgt.sum(-1, keepdims=True), 1e-20)
+
+    def interp(attr):  # attr: (V, C) -> (H, W, C)
+        a = attr[vids]  # (H, W, 3, C)
+        return (a * wgt[..., None]).sum(axis=2)
+
+    pix_pos_w = interp(pos_w)
+    pix_nrm_w = interp(nrm_w)
+    pix_tan_w = interp(tan_w)
+    pix_uv = interp(uv)
+    # per-triangle (flat) material: from the provoking vertex's instance
+    inst = scene.opaque.vertex_instance[vids[..., 0]]
+    mat = scene.opaque.material_indices[inst]  # (H, W)
+
+    pool = scene.texture_pool
+    dtex = scene.mat_diffuse_tex[mat]
+    ntex = scene.mat_normal_tex[mat]
+    lod = sampling.compute_lod(pix_uv, dtex, pool)
+    diffuse_sample = sampling.sample_trilinear(pool, dtex, pix_uv, lod)
+    normal_sample = sampling.sample_trilinear(pool, ntex, pix_uv, lod)
+
+    albedo = scene.mat_albedo[mat] * diffuse_sample
+    unit_n = shading.normalize(pix_nrm_w)
+    bumped_n = shading.normal_sample_to_world(
+        normal_sample[..., :3], unit_n, pix_tan_w)
+
+    # DrawNormals.hlsl:91: view-space normal from the UNBUMPED vertex normal
+    normal_v = unit_n @ consts.view[:3, :3]
+
+    return dict(
+        pos_w=pix_pos_w,
+        normal_w=bumped_n,
+        normal_v=normal_v,
+        albedo=albedo,
+        roughness=scene.mat_roughness[mat][..., None],
+        metalness=scene.mat_metalness[mat][..., None],
+        shininess_alpha=normal_sample[..., 3:4],  # normal map alpha
+        valid=valid,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SSAO
+# ---------------------------------------------------------------------------
+
+def ssao_pass(scene: DeviceScene, consts: FrameConstants, cfg: RenderConfig,
+              normal_v: jnp.ndarray, depth: jnp.ndarray) -> jnp.ndarray:
+    """Half-res occlusion + N two-pass bilateral blurs -> (h, w) access."""
+    # half-res inputs, matching the reference's sampler footprints:
+    # normals point-sampled, depth box-filtered (see Ssao.hlsl samplers)
+    n_half = normal_v[1::2, 1::2][: cfg.ssao_height, : cfg.ssao_width]
+    d00 = depth[0::2, 0::2]
+    d10 = depth[1::2, 0::2]
+    d01 = depth[0::2, 1::2]
+    d11 = depth[1::2, 1::2]
+    d_half = 0.25 * (d00 + d10 + d01 + d11)
+    d_half = d_half[: cfg.ssao_height, : cfg.ssao_width]
+
+    access = ssao_ops.ssao_occlusion(
+        n_half, d_half, consts.proj, consts.inv_proj,
+        scene.ssao_offsets, scene.ssao_random_tex)
+
+    d_view = ssao_ops.ndc_depth_to_view(d_half, consts.proj[2, 2],
+                                        consts.proj[3, 2])
+    w = scene.ssao_blur_weights
+    for _ in range(cfg.ssao_blur_count):
+        access = ssao_ops.bilateral_blur(access, n_half, d_view, w, True)
+        access = ssao_ops.bilateral_blur(access, n_half, d_view, w, False)
+    return access
+
+
+def _upsample_bilinear(img: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Half-res -> full-res bilinear (the lighting pass samples the SSAO map
+    with gsamLinearClamp at full-res screen uv)."""
+    return jax.image.resize(img, (H, W), method="bilinear")
+
+
+# ---------------------------------------------------------------------------
+# Lighting + sky
+# ---------------------------------------------------------------------------
+
+def lighting_pass(scene: DeviceScene, consts: FrameConstants,
+                  cfg: RenderConfig, g: dict, shadow_maps, ambient_access,
+                  depth: jnp.ndarray) -> jnp.ndarray:
+    """Deferred PBR lighting (DeferredShading.hlsl PS) + sky."""
+    H, W = depth.shape
+    pos_w = g["pos_w"]
+    normal = shading.normalize(g["normal_w"])
+    albedo = g["albedo"]
+    roughness = g["roughness"]
+    metalness = g["metalness"]
+    view = shading.normalize(consts.eye_pos - pos_w)
+    fresnel_r0 = 0.04 * (1.0 - metalness) + albedo[..., :3] * metalness
+
+    ambient = (ambient_access[..., None] * scene.ambient[None, None, :]
+               * albedo)
+
+    if cfg.shadows_enabled:
+        sf = shadows.cascade_shadow_factor(
+            shadow_maps, consts.shadow_transforms, pos_w, consts.eye_pos,
+            cfg.shadow_map_size, deferred_blend_quirk=cfg.deferred)
+        sf = sf[..., None]
+    else:
+        sf = jnp.ones_like(roughness)
+
+    lights = _LightsView(scene, cfg)
+    # deferred shininess alpha is gBuffer2.w == 1 (GBuffer.hlsl:28);
+    # forward uses the normal map alpha (Default.hlsl:159)
+    alpha = jnp.ones_like(roughness) if cfg.deferred else g["shininess_alpha"]
+    shininess = (1.0 - roughness) * alpha
+
+    if cfg.use_pbr:
+        direct = shading.pbr_shading(lights, normal, view, pos_w, albedo,
+                                     roughness, metalness, sf)
+    else:
+        direct = shading.compute_lighting(lights, normal, view, pos_w,
+                                          albedo, fresnel_r0, shininess,
+                                          sf)
+    direct = shading.tonemap_direct(direct)
+    lit = ambient[..., :3] + direct
+
+    if cfg.sky_enabled:
+        r = shading.reflect(-view, normal)
+        refl_col = sampling.sample_cubemap(scene.cubemap, r)
+        fres = shading.schlick_fresnel(fresnel_r0, normal, r)
+        lit = lit + shininess * fres * refl_col[..., :3]
+
+    # sky pass: pixels with no geometry sample the cubemap along the view
+    # ray (sky.hlsl:33-47 — the sky sphere is eye-centered so PosL is the
+    # ray direction up to scale)
+    if cfg.sky_enabled:
+        ndc_x = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W * 2.0 - 1.0
+        ndc_y = 1.0 - (jnp.arange(H, dtype=jnp.float32) + 0.5) / H * 2.0
+        ndc = jnp.stack(
+            [jnp.broadcast_to(ndc_x[None, :], (H, W)),
+             jnp.broadcast_to(ndc_y[:, None], (H, W)),
+             jnp.ones((H, W), jnp.float32),
+             jnp.ones((H, W), jnp.float32)], axis=-1)
+        inv_vp = jnp.linalg.inv(consts.view_proj)
+        far_h = ndc @ inv_vp
+        far_w = far_h[..., :3] / far_h[..., 3:4]
+        ray = far_w - consts.eye_pos
+        sky_col = sampling.sample_cubemap(scene.cubemap, ray)[..., :3]
+        lit = jnp.where(g["valid"][..., None], lit, sky_col)
+
+    alpha_out = jnp.where(g["valid"][..., None], albedo[..., 3:4], 1.0)
+    return jnp.concatenate([lit, alpha_out], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Full frame
+# ---------------------------------------------------------------------------
+
+def render_frame(scene: DeviceScene, consts: FrameConstants,
+                 cfg: RenderConfig) -> jnp.ndarray:
+    """One full frame -> (H, W, 4) float32 linear color (see module doc)."""
+    H, W = cfg.height, cfg.width
+
+    # vertex stage + main rasterization (one visibility buffer feeds the
+    # normal/depth, G-buffer and lighting passes)
+    pos_w, nrm_w, tan_w, uv, clip = vertex_stage(
+        scene.opaque, consts.opaque_visibility, consts.view_proj,
+        scene.mat_transform)
+    tris = rz.setup_triangles(clip, scene.opaque.indices, W, H)
+    bins = rz.bin_triangles(tris, W, H, cfg.pair_capacity)
+    depth, tid = rz.rasterize_binned(tris, bins, W, H, cfg.bin_cap)
+
+    g = resolve_gbuffer(scene, consts, cfg, tris, depth, tid,
+                        pos_w, nrm_w, tan_w, uv)
+
+    if cfg.shadows_enabled:
+        shadow_maps = render_shadow_maps(scene, consts, cfg)
+    else:
+        shadow_maps = jnp.ones((cfg.num_cascades, 2, 2), jnp.float32)
+
+    if cfg.ssao_enabled:
+        access_half = ssao_pass(scene, consts, cfg, g["normal_v"], depth)
+        ambient_access = _upsample_bilinear(access_half, H, W)
+    else:
+        ambient_access = jnp.ones((H, W), jnp.float32)
+
+    return lighting_pass(scene, consts, cfg, g, shadow_maps, ambient_access,
+                         depth)

@@ -7,7 +7,9 @@ devices.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the ambient environment may point JAX at a TPU
+# (JAX_PLATFORMS=axon); tests must be hermetic and run on host CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

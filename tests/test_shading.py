@@ -1,0 +1,133 @@
+import numpy as np
+import jax.numpy as jnp
+
+from crychic_renderer_tpu.ops import shading, ssao as ssao_ops, shadows
+from crychic_renderer_tpu.models.materials import Lights
+
+
+def test_schlick_fresnel_limits():
+    r0 = jnp.asarray([[0.04, 0.04, 0.04]])
+    n = jnp.asarray([[0.0, 0.0, 1.0]])
+    # grazing: full reflection
+    grazing = shading.schlick_fresnel(r0, n, jnp.asarray([[1.0, 0.0, 0.0]]))
+    assert np.allclose(np.asarray(grazing), 1.0, atol=1e-6)
+    # head-on: r0
+    head_on = shading.schlick_fresnel(r0, n, jnp.asarray([[0.0, 0.0, 1.0]]))
+    assert np.allclose(np.asarray(head_on), 0.04, atol=1e-6)
+
+
+def test_normal_map_flat_sample_preserves_normal():
+    n = jnp.asarray([[0.0, 1.0, 0.0]])
+    t = jnp.asarray([[1.0, 0.0, 0.0]])
+    flat = jnp.asarray([[0.5, 0.5, 1.0]])  # tangent-space +z
+    out = shading.normal_sample_to_world(flat, n, t)
+    assert np.allclose(np.asarray(out), [[0, 1, 0]], atol=1e-6)
+
+
+def test_pbr_energy_reasonable():
+    lights = Lights.empty()
+    lights.direction[0] = (0.0, -1.0, 0.0)
+    lights.strength[0] = (1.0, 1.0, 1.0)
+    lights.num_dir = 1
+    n = jnp.asarray([[[0.0, 1.0, 0.0]]])
+    v = jnp.asarray([[[0.0, 1.0, 0.0]]])
+    pos = jnp.zeros((1, 1, 3))
+    albedo = jnp.full((1, 1, 4), 0.8)
+    direct = shading.pbr_shading(lights, n, v, pos, albedo,
+                                 jnp.full((1, 1, 1), 0.5),
+                                 jnp.full((1, 1, 1), 0.5),
+                                 jnp.ones((1, 1, 1)))
+    d = np.asarray(direct)
+    assert (d > 0).all() and (d < 2.0).all()
+
+
+def test_pbr_shadow_pow5():
+    lights = Lights.empty()
+    lights.direction[0] = (0.0, -1.0, 0.0)
+    lights.strength[0] = (1.0, 1.0, 1.0)
+    lights.num_dir = 1
+    n = jnp.asarray([[[0.0, 1.0, 0.0]]])
+    v = jnp.asarray([[[0.0, 1.0, 0.0]]])
+    pos = jnp.zeros((1, 1, 3))
+    albedo = jnp.full((1, 1, 4), 0.8)
+    args = (lights, n, v, pos, albedo, jnp.full((1, 1, 1), 0.5),
+            jnp.full((1, 1, 1), 0.5))
+    full = np.asarray(shading.pbr_shading(*args, jnp.ones((1, 1, 1))))
+    half = np.asarray(shading.pbr_shading(*args, jnp.full((1, 1, 1), 0.5)))
+    assert np.allclose(half / full, 0.5 ** 5, atol=1e-5)
+
+
+def test_tonemap_range():
+    x = jnp.asarray([0.0, 1.0, 10.0, 1e6])
+    y = np.asarray(shading.tonemap_direct(x))
+    assert (y >= 0).all() and (y <= 1).all()
+    assert y[0] == 0.0 and y[3] > 0.99
+
+
+def test_gauss_weights_match_reference_shape():
+    w = ssao_ops.calc_gauss_weights(2.5)
+    assert len(w) == 11
+    assert np.isclose(w.sum(), 1.0, atol=1e-6)
+    assert w[5] == w.max()
+
+
+def test_offset_vectors_deterministic():
+    a = ssao_ops.build_offset_vectors()
+    b = ssao_ops.build_offset_vectors()
+    assert np.array_equal(a, b)
+    lens = np.linalg.norm(a, axis=1)
+    assert (lens >= 0.25 - 1e-6).all() and (lens <= 1.0 + 1e-6).all()
+
+
+def test_bilateral_blur_preserves_flat_region():
+    amb = jnp.full((16, 64), 0.5)
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (16, 64, 3))
+    depth = jnp.full((16, 64), 5.0)
+    w = jnp.asarray(ssao_ops.calc_gauss_weights(2.5))
+    out = ssao_ops.bilateral_blur(amb, nrm, depth, w, True)
+    assert np.allclose(np.asarray(out), 0.5, atol=1e-6)
+
+
+def test_bilateral_blur_stops_at_depth_edge():
+    amb = jnp.concatenate([jnp.zeros((16, 32)), jnp.ones((16, 32))], axis=1)
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (16, 64, 3))
+    depth = jnp.concatenate([jnp.full((16, 32), 5.0),
+                             jnp.full((16, 32), 50.0)], axis=1)
+    w = jnp.asarray(ssao_ops.calc_gauss_weights(2.5))
+    out = np.asarray(ssao_ops.bilateral_blur(amb, nrm, depth, w, True))
+    # the depth discontinuity prevents bleed: left stays 0, right stays 1
+    assert np.allclose(out[:, :32], 0.0, atol=1e-6)
+    assert np.allclose(out[:, 32:], 1.0, atol=1e-6)
+
+
+def test_pcf_fully_lit_and_fully_shadowed():
+    S = 64
+    maps = jnp.ones((4, S, S))  # far depth everywhere
+    # a pixel whose shadow-space depth is 0.5 -> 0.5 <= 1.0 -> lit
+    shadow_pos = jnp.asarray([[[0.5 * S and 0.5, 0.5, 0.5, 1.0]]])
+    shadow_pos = jnp.broadcast_to(jnp.asarray([0.5, 0.5, 0.5, 1.0]),
+                                  (4, 4, 4))
+    cascade = jnp.zeros((4, 4), jnp.int32)
+    lit = shadows.poisson_pcf(maps, cascade, shadow_pos, S)
+    assert np.allclose(np.asarray(lit), 1.0, atol=1e-6)
+    maps0 = jnp.zeros((4, S, S))  # occluder at depth 0 everywhere
+    shadowed = shadows.poisson_pcf(maps0, cascade, shadow_pos, S)
+    assert np.allclose(np.asarray(shadowed), 0.0, atol=1e-6)
+
+
+def test_cascade_selection_distance():
+    S = 32
+    maps = jnp.ones((4, S, S))
+    # identity-ish shadow transforms mapping world xz to uv center
+    M = np.zeros((4, 4, 4), np.float32)
+    for c in range(4):
+        M[c] = np.eye(4)
+        M[c][3, :3] = 0.5  # translate into the map
+        M[c][0, 0] = M[c][1, 1] = M[c][2, 2] = 0.001
+    M = jnp.asarray(M)
+    eye = jnp.asarray([0.0, 0.0, 0.0])
+    # beyond the last radius: factor 1 regardless of maps
+    far_pos = jnp.asarray([[[200.0, 0.0, 0.0]]])
+    f = shadows.cascade_shadow_factor(jnp.zeros((4, S, S)), M, far_pos, eye,
+                                      S, deferred_blend_quirk=True)
+    assert np.allclose(np.asarray(f), 1.0)

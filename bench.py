@@ -1,0 +1,54 @@
+"""Headline benchmark: full deferred+shadows+SSAO+PBR frame of the
+skull+car scene at 1080p on one TPU chip (BASELINE.json's metric).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ms_per_frame, "unit": "ms/frame",
+     "vs_baseline": baseline_ms / value}
+
+vs_baseline > 1 means faster than the 16 ms/frame north-star target.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_MS = 16.0
+
+
+def main():
+    import numpy as np
+
+    from crychic_renderer_tpu.models.scenes_baseline import config5_full_scene
+    from crychic_renderer_tpu.app.renderer import Renderer
+
+    scene, cfg, lights = config5_full_scene()
+    r = Renderer(scene, cfg, lights=lights)
+
+    # warm up / compile
+    img = r.render(0.0)
+    _ = float(img[0, 0, 0])
+
+    # Amortized frame time: dispatch N frames back-to-back (the functional
+    # analogue of the reference's 3-deep FrameResource pipelining,
+    # CRYCHIC.cpp:135-146) and read one scalar at the end. A per-frame
+    # readback would measure host<->device round-trip latency, not render
+    # throughput.
+    n = 20
+    t0 = time.perf_counter()
+    imgs_last = None
+    for i in range(n):
+        imgs_last = r.render(i / 60.0)
+    _ = float(imgs_last[0, 0, 0])
+    ms = 1000.0 * (time.perf_counter() - t0) / n
+
+    print(json.dumps({
+        "metric": "ms/frame 1080p skull+car deferred+shadows+SSAO+PBR",
+        "value": round(ms, 3),
+        "unit": "ms/frame",
+        "vs_baseline": round(BASELINE_MS / ms, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,17 +49,46 @@ _TEXTURE_FILES = {
 }
 
 
+# animated texture slots: name -> (frames dir, subsample step, fps)
+_ANIM_SLOTS = {
+    "bolt_anim": ("BoltAnim", 4, 30.0),
+    "fire_anim": ("FireAnim", 8, 30.0),
+}
+
+
 def load_texture_pool(names, asset_dir=DEFAULT_ASSET_DIR):
     """Load the named texture slots into a TexturePool (mips generated for
     mipless textures, like D3D12 would sample the base level repeatedly —
-    we improve on that with generated mips)."""
+    we improve on that with generated mips).
+
+    Returns (pool, anim_specs) where anim_specs maps slot index ->
+    (first_frame_texture_index, frame_count, fps) for animated slots
+    (BoltAnim/FireAnim BMP sequences). Animation works by cycling the
+    material's diffuse texture index per frame on the host — the frames
+    all live in the pool.
+    """
     from ..io import dds
 
     textures = []
-    for name in names:
+    anim_specs = {}
+    anim_tail = []  # (slot, frames) appended after the fixed slots
+    for slot, name in enumerate(names):
         if name == "sky_cube":
             # cube slots don't live in the 2D pool; placeholder 1x1
             textures.append([np.full((1, 1, 4), 255, np.uint8)])
+            continue
+        if name in _ANIM_SLOTS:
+            subdir, step, fps = _ANIM_SLOTS[name]
+            d = os.path.join(asset_dir, subdir)
+            files = sorted(os.listdir(d))[::step] if os.path.isdir(d) else []
+            frames = [dds.generate_mips(dds.load_bmp(os.path.join(d, f)))
+                      for f in files]
+            if not frames:
+                frames = [[np.full((1, 1, 4), 255, np.uint8)]]
+            textures.append(frames[0])  # slot shows frame 0
+            anim_specs[slot] = (len(names) + sum(len(f) for _, f in anim_tail),
+                                len(frames), fps)
+            anim_tail.append((slot, frames))
             continue
         fn = _TEXTURE_FILES.get(name)
         if fn is None or not os.path.exists(os.path.join(asset_dir, fn)):
@@ -70,14 +99,16 @@ def load_texture_pool(names, asset_dir=DEFAULT_ASSET_DIR):
         if len(mips) == 1 and mips[0].shape[0] > 1:
             mips = dds.generate_mips(mips[0])
         textures.append(mips)
-    return sampling.TexturePool.build(textures)
+    for _, frames in anim_tail:
+        textures.extend(frames)
+    return sampling.TexturePool.build(textures), anim_specs
 
 
 def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
                        lights=None) -> fr.DeviceScene:
     if lights is None:
         lights = build_reference_lights()
-    pool = load_texture_pool(scene.texture_names, asset_dir)
+    pool, anim_specs = load_texture_pool(scene.texture_names, asset_dir)
     mb = scene.material_bank
     cubemap = sampling.procedural_sky_cubemap(256)
     return fr.DeviceScene(
@@ -105,7 +136,7 @@ def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
         ssao_offsets=jnp.asarray(ssao_ops.build_offset_vectors()),
         ssao_random_tex=jnp.asarray(ssao_ops.build_random_vector_texture()),
         ssao_blur_weights=jnp.asarray(ssao_ops.calc_gauss_weights(2.5)),
-    )
+    ), anim_specs
 
 
 class Renderer:
@@ -115,11 +146,19 @@ class Renderer:
                  camera: Camera = None, asset_dir=DEFAULT_ASSET_DIR,
                  lights=None):
         self.scene = scene
+        if cfg.use_pallas and jax.default_backend() == "cpu":
+            # the Mosaic kernel targets TPU; CPU falls back to the XLA path
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, use_pallas=False)
         self.cfg = cfg
         self.camera = camera or self._default_camera()
         self.light_dir0 = (lights.direction[0] if lights is not None
                            else build_reference_lights().direction[0])
-        self.device_scene = build_device_scene(scene, asset_dir, lights)
+        self.device_scene, self.anim_specs = build_device_scene(
+            scene, asset_dir, lights)
+        self._base_diffuse_tex = np.asarray(
+            scene.material_bank.diffuse_map_index)
         self._frame_fn = jax.jit(
             functools.partial(fr.render_frame, cfg=cfg))
         self._stats = []
@@ -176,7 +215,20 @@ class Renderer:
         return vis
 
     # -- frame -------------------------------------------------------------
+    def _animate_materials(self, total_time: float):
+        """Cycle animated texture slots (BoltAnim/FireAnim frame sequences)
+        by rewriting material->texture indices; cheap host-side update, no
+        recompile (shapes unchanged)."""
+        if not self.anim_specs:
+            return
+        tex = self._base_diffuse_tex.copy()
+        for slot, (base, count, fps) in self.anim_specs.items():
+            frame = int(total_time * fps) % count
+            tex[self._base_diffuse_tex == slot] = base + frame
+        self.device_scene.mat_diffuse_tex = jnp.asarray(tex)
+
     def render(self, total_time: float = 0.0) -> jnp.ndarray:
+        self._animate_materials(total_time)
         consts = self.frame_constants(total_time)
         return self._frame_fn(self.device_scene, consts)
 

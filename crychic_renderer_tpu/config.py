@@ -34,6 +34,7 @@ class RenderConfig:
     num_point_lights: int = 0
     num_spot_lights: int = 0
     use_pbr: bool = True  # PBRShading vs ComputeLighting (Default.hlsl:163-165)
+    use_pallas: bool = True  # Pallas raster kernel (TPU) vs pure-XLA path
 
     @property
     def ssao_width(self):

@@ -60,6 +60,15 @@ def decode_bc1(data: bytes, width: int, height: int) -> np.ndarray:
 
     Returns (H, W, 4) uint8. Handles the 1-bit-alpha mode (c0 <= c1).
     """
+    from .. import native
+
+    fast = native.decode_bc1(data, width, height)
+    if fast is not None:
+        return fast
+    return _decode_bc1_numpy(data, width, height)
+
+
+def _decode_bc1_numpy(data: bytes, width: int, height: int) -> np.ndarray:
     bw, bh = (width + 3) // 4, (height + 3) // 4
     arr = np.frombuffer(data, dtype="<u2", count=bw * bh * 4).reshape(bw * bh, 4)
     c0, c1 = arr[:, 0], arr[:, 1]
@@ -84,6 +93,15 @@ def decode_bc1(data: bytes, width: int, height: int) -> np.ndarray:
 
 def decode_bc3(data: bytes, width: int, height: int) -> np.ndarray:
     """DXT5: 16-byte blocks = 8-byte interpolated alpha + BC1-style color."""
+    from .. import native
+
+    fast = native.decode_bc3(data, width, height)
+    if fast is not None:
+        return fast
+    return _decode_bc3_numpy(data, width, height)
+
+
+def _decode_bc3_numpy(data: bytes, width: int, height: int) -> np.ndarray:
     bw, bh = (width + 3) // 4, (height + 3) // 4
     n = bw * bh
     raw = np.frombuffer(data, dtype=np.uint8, count=n * 16).reshape(n, 16)

@@ -25,6 +25,17 @@ from ..models.geometry import MeshData
 
 
 def load_mesh_txt(path: str) -> MeshData:
+    from .. import native
+
+    fast = native.parse_mesh_txt(path)
+    if fast is not None:
+        v, idx = fast
+        positions = v[:, :3].copy()
+        normals = v[:, 3:].copy()
+        tangents = synthesize_tangents(normals)
+        uvs = np.zeros((v.shape[0], 2), dtype=np.float32)
+        return MeshData(positions, normals, tangents, uvs, idx)
+
     with open(path, "r") as f:
         tokens = f.read().split()
     it = iter(tokens)

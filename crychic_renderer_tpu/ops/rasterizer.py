@@ -347,6 +347,21 @@ def rasterize_binned(tris: ScreenTris, bins: Bins, width: int, height: int,
     return depth, tid
 
 
+def raster_stats(tris: ScreenTris, width: int, height: int,
+                 pair_capacity: int, tile_h: int = None,
+                 tile_w: int = None) -> dict:
+    """Capacity diagnostics for a frame: total pairs, overflow flag, and the
+    max per-tile triangle count (must stay <= bin_cap for the pure-XLA
+    rasterizer, which truncates silently; the Pallas kernel has dynamic
+    per-tile counts and only needs pair_capacity to hold the expansion)."""
+    bins = bin_triangles(tris, width, height, pair_capacity, tile_h, tile_w)
+    return dict(
+        num_valid=int(bins.num_valid),
+        overflowed=bool(bins.overflowed),
+        max_tile_count=int(bins.counts.max()),
+    )
+
+
 def rasterize(clip_verts: jnp.ndarray, indices: jnp.ndarray, width: int,
               height: int, pair_capacity: int = 1 << 19, bin_cap: int = 1024,
               with_ids: bool = True, backend: str = "binned"):

@@ -45,6 +45,12 @@ def build_random_vector_texture() -> np.ndarray:
     The reference fills it from the same global MSVC rand stream right
     after the offset vectors; XMCOLOR quantizes to 8 bits per channel.
     """
+    from .. import native
+
+    fast = native.msvc_random_texture(256, 1, 14)
+    if fast is not None:
+        return fast
+
     rnd = MsvcRand(seed=1)
     for _ in range(14):
         rnd.randf_range(0.25, 1.0)  # consume the offset-vector draws

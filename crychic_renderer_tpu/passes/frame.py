@@ -35,6 +35,7 @@ import numpy as np
 
 from ..config import RenderConfig
 from ..ops import rasterizer as rz
+from ..ops import raster_pallas as rp
 from ..ops import sampling, shading, shadows, ssao as ssao_ops
 from ..models import cascades as casc
 
@@ -229,32 +230,47 @@ def shadow_clip(draw: DeviceDraw, visibility: jnp.ndarray,
 # Shadow pass
 # ---------------------------------------------------------------------------
 
-def render_shadow_maps(scene: DeviceScene, consts: FrameConstants,
-                       cfg: RenderConfig) -> jnp.ndarray:
-    """4 cascade depth-only renders -> (4, S, S) float32 depth.
+def render_one_shadow_map(scene: DeviceScene, shadow_visibility, vp,
+                          cfg: RenderConfig) -> jnp.ndarray:
+    """One cascade's depth-only render -> (S, S) float32 depth.
 
     Depth bias replicates the shadow PSO's rasterizer state
     (CRYCHIC.cpp:1601-1603): constant bias 10000 (of 2^24 UNORM steps) +
     slope-scaled 2.0, applied per triangle from its depth plane slopes.
     """
     S = cfg.shadow_map_size
-
-    def one_cascade(vp):
-        clip = shadow_clip(scene.shadow, consts.shadow_visibility, vp)
-        tris = rz.setup_triangles(clip, scene.shadow.indices, S, S)
-        # depth bias (applied to the per-vertex z: plane slopes shift equally)
-        A, B, C, area2, _ = rz._edge_coeffs(tris.xy)
-        inv_a2 = 1.0 / jnp.where(area2 == 0, 1.0, area2)
-        zA = (A * tris.z * inv_a2[:, None]).sum(-1)
-        zB = (B * tris.z * inv_a2[:, None]).sum(-1)
-        max_slope = jnp.maximum(jnp.abs(zA), jnp.abs(zB))
-        bias = 10000.0 / (1 << 24) + 2.0 * max_slope
-        tris = tris._replace(z=jnp.clip(tris.z + bias[:, None], 0.0, 1.0))
+    clip = shadow_clip(scene.shadow, shadow_visibility, vp)
+    tris = rz.setup_triangles(clip, scene.shadow.indices, S, S)
+    A, B, C, area2, _ = rz._edge_coeffs(tris.xy)
+    inv_a2 = 1.0 / jnp.where(area2 == 0, 1.0, area2)
+    zA = (A * tris.z * inv_a2[:, None]).sum(-1)
+    zB = (B * tris.z * inv_a2[:, None]).sum(-1)
+    max_slope = jnp.maximum(jnp.abs(zA), jnp.abs(zB))
+    bias = 10000.0 / (1 << 24) + 2.0 * max_slope
+    tris = tris._replace(z=jnp.clip(tris.z + bias[:, None], 0.0, 1.0))
+    if cfg.use_pallas:
+        depth, _ = rp.rasterize_pallas(tris, S, S, cfg.shadow_pair_capacity)
+    else:
         bins = rz.bin_triangles(tris, S, S, cfg.shadow_pair_capacity)
         depth, _ = rz.rasterize_binned(tris, bins, S, S, cfg.shadow_bin_cap,
                                        with_ids=False)
-        return depth
+    return depth
 
+
+def render_shadow_maps(scene: DeviceScene, consts: FrameConstants,
+                       cfg: RenderConfig) -> jnp.ndarray:
+    """4 cascade depth-only renders -> (4, S, S) float32 depth."""
+    S = cfg.shadow_map_size
+
+    def one_cascade(vp):
+        return render_one_shadow_map(scene, consts.shadow_visibility, vp,
+                                     cfg)
+
+    if cfg.use_pallas:
+        # pallas_call under vmap isn't free; a Python loop compiles 4
+        # instances that XLA runs back-to-back
+        return jnp.stack([one_cascade(consts.cascade_view_projs[c])
+                          for c in range(cfg.num_cascades)])
     return jax.vmap(one_cascade)(consts.cascade_view_projs)
 
 
@@ -371,9 +387,16 @@ def _upsample_bilinear(img: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
 
 def lighting_pass(scene: DeviceScene, consts: FrameConstants,
                   cfg: RenderConfig, g: dict, shadow_maps, ambient_access,
-                  depth: jnp.ndarray) -> jnp.ndarray:
-    """Deferred PBR lighting (DeferredShading.hlsl PS) + sky."""
+                  depth: jnp.ndarray, row_offset=0,
+                  full_height: int = None) -> jnp.ndarray:
+    """Deferred PBR lighting (DeferredShading.hlsl PS) + sky.
+
+    row_offset/full_height support band rendering (parallel.sharded): the
+    sky-ray NDC y must come from the GLOBAL pixel row.
+    """
     H, W = depth.shape
+    if full_height is None:
+        full_height = H
     pos_w = g["pos_w"]
     normal = shading.normalize(g["normal_w"])
     albedo = g["albedo"]
@@ -420,7 +443,8 @@ def lighting_pass(scene: DeviceScene, consts: FrameConstants,
     # ray direction up to scale)
     if cfg.sky_enabled:
         ndc_x = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W * 2.0 - 1.0
-        ndc_y = 1.0 - (jnp.arange(H, dtype=jnp.float32) + 0.5) / H * 2.0
+        ndc_y = (1.0 - (jnp.arange(H, dtype=jnp.float32) + row_offset + 0.5)
+                 / full_height * 2.0)
         ndc = jnp.stack(
             [jnp.broadcast_to(ndc_x[None, :], (H, W)),
              jnp.broadcast_to(ndc_y[:, None], (H, W)),
@@ -452,8 +476,12 @@ def render_frame(scene: DeviceScene, consts: FrameConstants,
         scene.opaque, consts.opaque_visibility, consts.view_proj,
         scene.mat_transform)
     tris = rz.setup_triangles(clip, scene.opaque.indices, W, H)
-    bins = rz.bin_triangles(tris, W, H, cfg.pair_capacity)
-    depth, tid = rz.rasterize_binned(tris, bins, W, H, cfg.bin_cap)
+    if cfg.use_pallas:
+        depth, tid = rp.rasterize_pallas(tris, W, H, cfg.pair_capacity)
+        tris = tris._replace(xy=rp.snap_xy(tris.xy))  # match kernel coords
+    else:
+        bins = rz.bin_triangles(tris, W, H, cfg.pair_capacity)
+        depth, tid = rz.rasterize_binned(tris, bins, W, H, cfg.bin_cap)
 
     g = resolve_gbuffer(scene, consts, cfg, tris, depth, tid,
                         pos_w, nrm_w, tan_w, uv)

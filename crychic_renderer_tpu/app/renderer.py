@@ -195,24 +195,19 @@ class Renderer:
 
     def _visibility(self, draw) -> np.ndarray:
         """Per-instance frustum culling (UpdateInstanceData,
-        CRYCHIC.cpp:515-557). Vectorized over instances."""
+        CRYCHIC.cpp:515-557), vectorized over all instances. Non-cullable
+        instances (the OpaqueShadow layer) always pass, so shadows of
+        off-screen casters stay correct (CRYCHIC.cpp:543-544)."""
         if not self.cfg.frustum_culling:
             return np.ones(draw.num_instances, np.float32)
+        from ..models.camera import cull_instances
+
         frustum = BoundingFrustum(self.camera.proj)
         inv_view = np.linalg.inv(self.camera.view)
-        vis = np.ones(draw.num_instances, np.float32)
-        for d in range(draw.num_instances):
-            if not draw.cullable[d]:
-                continue
-            planes = frustum.planes_in(
-                inv_view @ np.linalg.inv(draw.worlds[d]))
-            from ..models.camera import frustum_aabb_intersects
-
-            ok = frustum_aabb_intersects(
-                planes, draw.bounds_center[d][None],
-                draw.bounds_extents[d][None])[0]
-            vis[d] = 1.0 if ok else 0.0
-        return vis
+        inv_worlds = np.linalg.inv(draw.worlds)
+        vis = cull_instances(frustum, inv_view, inv_worlds,
+                             draw.bounds_center, draw.bounds_extents)
+        return (vis | ~draw.cullable).astype(np.float32)
 
     # -- frame -------------------------------------------------------------
     def _animate_materials(self, total_time: float):

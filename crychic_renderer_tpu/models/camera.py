@@ -160,6 +160,43 @@ class BoundingFrustum:
         return np.stack(planes).astype(np.float32)
 
 
+def cull_instances(frustum: "BoundingFrustum", inv_view: np.ndarray,
+                   inv_worlds: np.ndarray, centers: np.ndarray,
+                   extents: np.ndarray) -> np.ndarray:
+    """Vectorized per-instance frustum culling (UpdateInstanceData,
+    CRYCHIC.cpp:515-557): transform the frustum into every instance's local
+    space at once and test the local AABBs.
+
+    inv_worlds: (D, 4, 4); centers/extents: (D, 3). Returns (D,) bool.
+    """
+    corners = frustum.corners_view  # (8, 3)
+    ch = np.concatenate([corners, np.ones((8, 1), np.float32)], axis=1)
+    M = np.einsum("ij,djk->dik", inv_view, inv_worlds)  # (D, 4, 4)
+    cs = np.einsum("ci,dij->dcj", ch, M)
+    cs = cs[..., :3] / cs[..., 3:4]  # (D, 8, 3)
+    n0, n1, n2, n3, f0, f1, f2, f3 = [cs[:, i] for i in range(8)]
+
+    def plane(a, b, c):
+        n = np.cross(b - a, c - a)
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+        d = -(n * a).sum(-1)
+        return n, d
+
+    center = cs.mean(axis=1)
+    planes = [plane(n0, n1, n2), plane(f0, f2, f1), plane(n0, n2, f0),
+              plane(n1, f1, n3), plane(n2, n3, f2), plane(n0, f0, n1)]
+    visible = np.ones(cs.shape[0], dtype=bool)
+    for n, d in planes:
+        # orient inward
+        flip = (n * center).sum(-1) + d < 0
+        n = np.where(flip[:, None], -n, n)
+        d = np.where(flip, -d, d)
+        dist = (n * centers).sum(-1) + d
+        radius = (np.abs(n) * extents).sum(-1)
+        visible &= dist + radius >= 0.0
+    return visible
+
+
 def frustum_aabb_intersects(planes: np.ndarray, centers: np.ndarray,
                             extents: np.ndarray) -> np.ndarray:
     """Vectorized frustum-vs-AABB not-DISJOINT test.

@@ -148,10 +148,12 @@ def config4_shadow_pipeline():
     from .scene import build_cascade_scene
 
     scene = build_cascade_scene()
+    # capacities sized from measured pair counts (raster_stats): main view
+    # ~40k pairs, shadow atlas (4 cascades in one raster) ~300k
     cfg = RenderConfig(width=1920, height=1080, shadow_map_size=2048,
                        deferred=True, shadows_enabled=True,
                        ssao_enabled=True, use_pbr=True, num_dir_lights=3,
-                       pair_capacity=1 << 19, bin_cap=1024,
+                       pair_capacity=1 << 17, bin_cap=1024,
                        shadow_pair_capacity=1 << 19, shadow_bin_cap=1024)
     return scene, cfg, build_reference_lights()
 
@@ -209,7 +211,7 @@ def config5_full_scene(anim_frame: int = 0):
     cfg = RenderConfig(width=1920, height=1080, shadow_map_size=2048,
                        deferred=True, shadows_enabled=True,
                        ssao_enabled=True, use_pbr=True, num_dir_lights=3,
-                       pair_capacity=1 << 20, bin_cap=2048,
+                       pair_capacity=1 << 18, bin_cap=2048,
                        shadow_pair_capacity=1 << 20, shadow_bin_cap=1024)
     return scene, cfg, build_reference_lights()
 

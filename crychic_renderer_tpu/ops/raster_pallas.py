@@ -52,129 +52,178 @@ def snap_xy(xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(xy * SUBPIXEL) / SUBPIXEL
 
 
-def build_records(tris: rz.ScreenTris, bins: rz.Bins, ntx: int) -> jnp.ndarray:
-    """Per-PAIR records (16, P) f32 in sorted-by-tile order, with edge and
-    depth planes re-anchored at each pair's tile origin."""
+def tri_records(tris: rz.ScreenTris) -> jnp.ndarray:
+    """Per-TRIANGLE records (T, 16) f32 with global-origin planes and the
+    top-left bias folded into C (dense math, no gathers)."""
     xy = snap_xy(tris.xy)
     A, B, C, area2, top_left = rz._edge_coeffs(xy)
     inv_a2 = 1.0 / jnp.where(area2 == 0, 1.0, area2)
     zA = (A * tris.z * inv_a2[:, None]).sum(-1)
     zB = (B * tris.z * inv_a2[:, None]).sum(-1)
     zC = (C * tris.z * inv_a2[:, None]).sum(-1)
-
-    tri = bins.order  # (P,) sorted pair -> tri
-    tile = bins.sorted_tile  # invalid pairs carry the sentinel tile id;
-    # their records are garbage but no tile's (start, count) run reaches
-    # them, and the kernel's tail mask rejects lanes past the run.
-    x0 = ((tile % ntx) * TILE_W).astype(jnp.float32)
-    y0 = ((tile // ntx) * TILE_H).astype(jnp.float32)
-
-    Ap = A[tri]  # (P, 3)
-    Bp = B[tri]
-    # local C at tile origin + top-left bias
-    Cp = (C[tri] + Ap * x0[:, None] + Bp * y0[:, None]
-          - jnp.where(top_left[tri], 0.0, EDGE_EPS))
-    zCp = zC[tri] + zA[tri] * x0 + zB[tri] * y0
-
-    ids = tri.astype(jnp.float32)
+    Cb = C - jnp.where(top_left, 0.0, EDGE_EPS)
+    ids = jnp.arange(A.shape[0], dtype=jnp.float32)
     pad = jnp.zeros_like(ids)
-    rec = jnp.stack(
-        [Ap[:, 0], Ap[:, 1], Ap[:, 2],
-         Bp[:, 0], Bp[:, 1], Bp[:, 2],
-         Cp[:, 0], Cp[:, 1], Cp[:, 2],
-         zA[tri], zB[tri], zCp, ids, pad, pad, pad], axis=0)  # (16, P)
-    return rec
+    return jnp.stack(
+        [A[:, 0], A[:, 1], A[:, 2],
+         B[:, 0], B[:, 1], B[:, 2],
+         Cb[:, 0], Cb[:, 1], Cb[:, 2],
+         zA, zB, zC, ids, pad, pad, pad], axis=-1)  # (T, 16)
+
+
+TILES_PER_PROG = 16  # amortizes per-program overhead + enlarges output DMA
 
 
 def _raster_kernel(start_blocks_ref, counts_ref, records_hbm, depth_ref,
                    tid_ref, rec_buf, sem):
+    """Layouts (Mosaic tiles are (8 sublanes, 128 lanes)):
+
+    - records block (16, TRI_BLOCK) transposed once per block to
+      (TRI_BLOCK, 16): triangles on sublanes;
+    - E / z matrices (TRI_BLOCK, P): triangles on sublanes, the tile's
+      P=1024 pixels on lanes — all compact native layouts;
+    - per-tile results (1, P) rows written into a (TILES_PER_PROG, P)
+      output block. (N, 1) column layouts are avoided everywhere: Mosaic
+      pads the minor dim to 128 lanes, inflating memory and compute 128x.
+    """
     i = pl.program_id(0)
-    start_blk = start_blocks_ref[i]
-    count = counts_ref[i]
 
     P = TILE_H * TILE_W
-    # tile-local pixel centers in flat (P, 1) layout (row-major within the
-    # tile); Mosaic can't reshape (8,128)<->(1024,1), so everything in the
-    # kernel stays (P, 1) and tiles are reassembled outside.
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    # tile-local pixel centers in flat (1, P) rows (row-major in the tile)
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     px = (pidx % TILE_W).astype(jnp.float32) + 0.5
     py = (pidx // TILE_W).astype(jnp.float32) + 0.5
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TRI_BLOCK), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (TRI_BLOCK, 1), 0)
 
-    nblk = pl.cdiv(count, TRI_BLOCK)
+    # Plane-evaluation matrix: E/z for all tris of a block in ONE MXU dot.
+    # Q[k, j*P + p] = the factor multiplying record row k for plane j at
+    # pixel p: planes j=0,1,2 are the edges (rows A=j, B=3+j, C=6+j),
+    # j=3 is depth (rows 9, 10, 11).
+    zero = jnp.zeros((1, P), jnp.float32)
+    one = jnp.ones((1, P), jnp.float32)
+    rows = []
+    for k in range(16):
+        segs = []
+        for j in range(4):
+            a_row, b_row, c_row = (j, 3 + j, 6 + j) if j < 3 else (9, 10, 11)
+            if k == a_row:
+                segs.append(px)
+            elif k == b_row:
+                segs.append(py)
+            elif k == c_row:
+                segs.append(one)
+            else:
+                segs.append(zero)
+        rows.append(jnp.concatenate(segs, axis=1))
+    Q = jnp.concatenate(rows, axis=0)  # (16, 4P)
+    e_id = (jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0) == 12).astype(
+        jnp.float32)
 
-    def dma(slot, b):
-        # runs are padded to whole TRI_BLOCK blocks (see pad_runs), so a
-        # block index fully addresses an aligned (16, TRI_BLOCK) slab
-        return pltpu.make_async_copy(
-            records_hbm.at[:, start_blk + b, :],
-            rec_buf.at[slot],
-            sem.at[slot],
-        )
+    for t in range(TILES_PER_PROG):
+        tile = i * TILES_PER_PROG + t
+        start_blk = start_blocks_ref[tile]
+        count = counts_ref[tile]
+        nblk = pl.cdiv(count, TRI_BLOCK)
 
-    @pl.when(nblk > 0)
-    def _():
-        dma(0, 0).start()
+        def dma(slot, b, start_blk=start_blk):
+            # runs are padded to whole TRI_BLOCK blocks (see pad_runs): a
+            # block index addresses an aligned (16, TRI_BLOCK) slab
+            return pltpu.make_async_copy(
+                records_hbm.at[:, start_blk + b, :],
+                rec_buf.at[slot],
+                sem.at[slot],
+            )
 
-    def body(b, carry):
-        zmin, idbest = carry
-        slot = jax.lax.rem(b, 2)
-
-        @pl.when(b + 1 < nblk)
+        @pl.when(nblk > 0)
         def _():
-            dma(jax.lax.rem(b + 1, 2), b + 1).start()
+            dma(0, 0).start()
 
-        dma(slot, b).wait()
-        rec = rec_buf[slot]  # (16, TRI_BLOCK)
+        def body(b, carry, count=count, nblk=nblk, dma=dma):
+            zmin, idbest = carry  # (1, P) each
+            slot = jax.lax.rem(b, 2)
 
-        # tail masking: lanes past the run's true count are padding
-        valid = lane < (count - b * TRI_BLOCK)
+            @pl.when(b + 1 < nblk)
+            def _():
+                dma(jax.lax.rem(b + 1, 2), b + 1).start()
 
-        E0 = px * rec[0:1, :] + (py * rec[3:4, :] + rec[6:7, :])
-        E1 = px * rec[1:2, :] + (py * rec[4:5, :] + rec[7:8, :])
-        E2 = px * rec[2:3, :] + (py * rec[5:6, :] + rec[8:9, :])
-        cov = (jnp.minimum(jnp.minimum(E0, E1), E2) >= 0.0) & valid
-        z = px * rec[9:10, :] + (py * rec[10:11, :] + rec[11:12, :])
-        z = jnp.where(cov & (z >= 0.0) & (z <= 1.0), z, jnp.inf)
-        zb = jnp.min(z, axis=1, keepdims=True)  # (P, 1)
-        ids = jnp.where(z == zb, rec[12:13, :], jnp.inf)
-        idb = jnp.min(ids, axis=1, keepdims=True)
-        better = zb < zmin
-        zmin = jnp.where(better, zb, zmin)
-        idbest = jnp.where(better, idb, idbest)
-        return zmin, idbest
+            dma(slot, b).wait()
+            rec = rec_buf[slot]  # (16, TRI_BLOCK)
 
-    z0 = jnp.full((P, 1), 1.0, dtype=jnp.float32)
-    id0 = jnp.full((P, 1), ID_NONE, dtype=jnp.float32)
-    zmin, idbest = jax.lax.fori_loop(0, nblk, body, (z0, id0))
+            # tail masking: rows past the run's true count are padding
+            valid = sub < (count - b * TRI_BLOCK)  # (TB, 1)
 
-    depth_ref[:, :] = zmin
-    tid_ref[:, :] = jnp.where(idbest < ID_NONE, idbest,
-                              -1.0).astype(jnp.int32)
+            # all 3 edge functions + the depth plane in one f32 matmul
+            E_all = jax.lax.dot_general(
+                rec, Q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (TB, 4P)
+            E0 = E_all[:, 0 * P:1 * P]
+            E1 = E_all[:, 1 * P:2 * P]
+            E2 = E_all[:, 2 * P:3 * P]
+            cov = (jnp.minimum(jnp.minimum(E0, E1), E2) >= 0.0) & valid
+            z = E_all[:, 3 * P:4 * P]
+            z = jnp.where(cov & (z >= 0.0) & (z <= 1.0), z, jnp.inf)
+            zb = jnp.min(z, axis=0, keepdims=True)  # (1, P)
+            ids_col = jax.lax.dot_general(
+                rec, e_id, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (TB, 1)
+            ids = jnp.where(z == zb, ids_col, jnp.inf)
+            idb = jnp.min(ids, axis=0, keepdims=True)
+            better = zb < zmin
+            zmin = jnp.where(better, zb, zmin)
+            idbest = jnp.where(better, idb, idbest)
+            return zmin, idbest
+
+        z0 = jnp.full((1, P), 1.0, dtype=jnp.float32)
+        id0 = jnp.full((1, P), ID_NONE, dtype=jnp.float32)
+        zmin, idbest = jax.lax.fori_loop(0, nblk, body, (z0, id0))
+
+        depth_ref[t, :] = zmin[0]
+        tid_ref[t, :] = jnp.where(idbest < ID_NONE, idbest,
+                                  -1.0)[0].astype(jnp.int32)
 
 
-def pad_runs(bins: rz.Bins, records: jnp.ndarray, num_tiles: int,
-             pair_capacity: int):
-    """Repack the sorted pair records so every tile's run starts at a
-    TRI_BLOCK boundary (DMA slabs must be tile-aligned on TPU).
+def build_padded_records(tris: rz.ScreenTris, bins: rz.Bins, ntx: int,
+                         num_tiles: int, pair_capacity: int):
+    """Padded, tile-anchored pair records for the kernel.
 
-    Returns (start_blocks (num_tiles,) int32 — block index of each run,
-    records3 (16, NB, TRI_BLOCK)).
+    Repacks the sorted pair runs so every tile's run starts at a TRI_BLOCK
+    boundary (DMA slabs must be tile-aligned), re-anchors each record's C
+    and zC at its tile's pixel origin (fp precision: |E| stays small inside
+    the tile), and lays the result out as (16, NB, TRI_BLOCK). Gather-only
+    (one int gather + one 64-byte row gather); scatters are slow on TPU.
+
+    Returns (start_blocks (num_tiles,) int32, records3).
     """
+    trecs = tri_records(tris)  # (T, 16)
+
     aligned = -(-bins.counts // TRI_BLOCK) * TRI_BLOCK  # per-tile padded len
     padded_starts = jnp.cumsum(aligned) - aligned
+    total_pad = padded_starts[-1] + aligned[-1]
     p_pad = pair_capacity + num_tiles * TRI_BLOCK  # static upper bound
+    p_pad = -(-p_pad // TRI_BLOCK) * TRI_BLOCK
 
-    pair_pos = jnp.arange(bins.order.shape[0], dtype=jnp.int32)
-    in_run = bins.sorted_tile < num_tiles
-    tile_c = jnp.clip(bins.sorted_tile, 0, num_tiles - 1)
-    dst = padded_starts[tile_c] + (pair_pos - bins.starts[tile_c])
-    dst = jnp.where(in_run, dst, p_pad)  # dropped by scatter mode below
+    # tile of each padded slot: searchsorted(padded_starts, q, 'right')-1
+    # via scatter-add + cumsum
+    q = jnp.arange(p_pad, dtype=jnp.int32)
+    marks = jnp.zeros(p_pad, jnp.int32).at[padded_starts].add(1, mode="drop")
+    tile_of_q = jnp.clip(jnp.cumsum(marks) - 1, 0, num_tiles - 1)
+    offset_in_run = q - padded_starts[tile_of_q]
+    src = jnp.clip(bins.starts[tile_of_q] + offset_in_run, 0,
+                   bins.order.shape[0] - 1)
+    tri_of_q = bins.order[src]  # (P_PAD,) int gather
+    rec = trecs[tri_of_q]  # (P_PAD, 16) row gather
 
-    rec_pad = jnp.zeros((records.shape[0], p_pad), records.dtype)
-    rec_pad = rec_pad.at[:, dst].set(records, mode="drop")
-    records3 = rec_pad.reshape(records.shape[0], p_pad // TRI_BLOCK,
-                               TRI_BLOCK)
+    # re-anchor edge/depth planes at the tile origin
+    x0 = ((tile_of_q % ntx) * TILE_W).astype(jnp.float32)[:, None]
+    y0 = ((tile_of_q // ntx) * TILE_H).astype(jnp.float32)[:, None]
+    A = rec[:, 0:3]
+    B = rec[:, 3:6]
+    C = rec[:, 6:9] + A * x0 + B * y0
+    zC = (rec[:, 11:12] + rec[:, 9:10] * x0 + rec[:, 10:11] * y0)
+    rec = jnp.concatenate([A, B, C, rec[:, 9:11], zC, rec[:, 12:]], axis=-1)
+
+    records3 = rec.T.reshape(16, p_pad // TRI_BLOCK, TRI_BLOCK)
     return (padded_starts // TRI_BLOCK).astype(jnp.int32), records3
 
 
@@ -195,34 +244,46 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
 
     bins = rz.bin_triangles(tris, width, height, pair_capacity,
                             tile_h=TILE_H, tile_w=TILE_W)
-    records = build_records(tris, bins, ntx)
-    start_blocks, records = pad_runs(bins, records, num_tiles,
-                                     pair_capacity)
+    start_blocks, records = build_padded_records(tris, bins, ntx, num_tiles,
+                                                 pair_capacity)
+
+    # pad the tile tables to a multiple of TILES_PER_PROG (extra tiles have
+    # count 0 and cost one scalar read each)
+    num_progs = -(-num_tiles // TILES_PER_PROG)
+    pad_tiles = num_progs * TILES_PER_PROG - num_tiles
+    if pad_tiles:
+        start_blocks = jnp.pad(start_blocks, (0, pad_tiles))
+        counts = jnp.pad(bins.counts, (0, pad_tiles))
+    else:
+        counts = bins.counts
 
     kernel = _raster_kernel
+    P = TILE_H * TILE_W
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(num_progs,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
-            pl.BlockSpec((TILE_H * TILE_W, 1), lambda i, *_: (i, 0)),
-            pl.BlockSpec((TILE_H * TILE_W, 1), lambda i, *_: (i, 0)),
+            pl.BlockSpec((TILES_PER_PROG, P), lambda i, *_: (i, 0)),
+            pl.BlockSpec((TILES_PER_PROG, P), lambda i, *_: (i, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, REC_ROWS, TRI_BLOCK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    P = TILE_H * TILE_W
     depth_flat, tid_flat = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles * P, 1), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles * P, 1), jnp.int32),
+            jax.ShapeDtypeStruct((num_progs * TILES_PER_PROG, P),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((num_progs * TILES_PER_PROG, P), jnp.int32),
         ],
         interpret=interpret,
-    )(start_blocks, bins.counts, records)
+    )(start_blocks, counts, records)
+    depth_flat = depth_flat[:num_tiles]
+    tid_flat = tid_flat[:num_tiles]
 
     def assemble(flat):
         img = flat.reshape(nty, ntx, TILE_H, TILE_W)

@@ -142,7 +142,12 @@ def bin_triangles(tris: ScreenTris, width: int, height: int,
     total = offsets[-1] + counts[-1] if counts.shape[0] else jnp.int32(0)
 
     pair_idx = jnp.arange(pair_capacity, dtype=jnp.int32)
-    tri_of_pair = jnp.searchsorted(offsets, pair_idx, side="right").astype(jnp.int32) - 1
+    # tri_of_pair = searchsorted(offsets, pair_idx, 'right') - 1, computed
+    # as scatter-add + cumsum (XLA's searchsorted lowers poorly on TPU for
+    # hundreds of thousands of queries)
+    marks = jnp.zeros(pair_capacity, jnp.int32).at[offsets].add(
+        1, mode="drop")
+    tri_of_pair = jnp.cumsum(marks) - 1
     tri_of_pair = jnp.clip(tri_of_pair, 0, counts.shape[0] - 1)
     slot = pair_idx - offsets[tri_of_pair]
     bw_p = jnp.maximum(bw[tri_of_pair], 1)
@@ -155,10 +160,10 @@ def bin_triangles(tris: ScreenTris, width: int, height: int,
     sorted_tile = tile_id[sort_order]
     order = tri_of_pair[sort_order].astype(jnp.int32)
 
-    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, tile_range, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, tile_range, side="right").astype(jnp.int32)
-    return Bins(order=order, starts=starts, counts=ends - starts,
+    # per-tile (start, count) via histogram + exclusive cumsum
+    hist = jnp.zeros(num_tiles, jnp.int32).at[tile_id].add(1, mode="drop")
+    starts = (jnp.cumsum(hist) - hist).astype(jnp.int32)
+    return Bins(order=order, starts=starts, counts=hist,
                 sorted_tile=sorted_tile.astype(jnp.int32),
                 num_valid=jnp.minimum(total, pair_capacity),
                 overflowed=total > pair_capacity)

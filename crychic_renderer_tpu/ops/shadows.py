@@ -17,6 +17,7 @@ cascades j and j+1.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..models.cascades import CASCADE_RADII
@@ -102,6 +103,72 @@ def poisson_pcf(shadow_maps, cascade, shadow_pos, smap_size: int):
     return lit / N_SAMPLE
 
 
+def poisson_pcf_windowed(shadow_maps, cascade, shadow_pos, smap_size: int):
+    """Windowed formulation of the 16-tap rotated-Poisson PCF.
+
+    Mathematically identical to `poisson_pcf`: the search radius is 2.5
+    texels (Common.hlsl:305), so every tap's bilinear footprint lies in an
+    8x8-texel window around the receiver. One sliced gather fetches the
+    window; the 16 taps' bilinear weights are accumulated into a single
+    8x8 mask and combined with the window's depth comparisons in one fused
+    elementwise reduction — O(1) gathers per pixel instead of 64.
+
+    Border approximation: the window origin clamps to the map, so taps that
+    would read the black border instead read edge texels. Cascade fitting
+    keeps receivers inside the map, making this unreachable in practice.
+    """
+    S = shadow_maps.shape[1]
+    inv_w = 1.0 / jnp.maximum(shadow_pos[..., 3], 1e-20)
+    uvz = shadow_pos[..., :3] * inv_w[..., None]
+    u, v, depth = uvz[..., 0], uvz[..., 1], uvz[..., 2]
+
+    cx = u * S - 0.5
+    cy = v * S - 0.5
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    ox = jnp.clip(x0.astype(jnp.int32) - 3, 0, S - 8)
+    oy = jnp.clip(y0.astype(jnp.int32) - 3, 0, S - 8)
+
+    shape = u.shape
+    n = int(np.prod(shape))
+    starts = jnp.stack([cascade.reshape(n), oy.reshape(n), ox.reshape(n)],
+                       axis=-1)
+    window = jax.lax.gather(
+        shadow_maps, starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2)),
+        slice_sizes=(1, 8, 8), mode="clip")  # (n, 8, 8)
+    window = window.reshape(shape + (8, 8))
+
+    cmp = (depth[..., None, None] <= window).astype(jnp.float32)
+
+    theta = nrand(uvz[..., :2])
+    c, sn = jnp.cos(theta), jnp.sin(theta)
+    radius = 5.0 / smap_size / 2.0 * S  # tap offsets in texels (= 2.5)
+
+    # accumulate the 16 taps' bilinear weights into one 8x8 mask
+    k = jnp.arange(8, dtype=jnp.float32)
+    W = jnp.zeros(shape + (8, 8), jnp.float32)
+    fx_base = cx - ox.astype(jnp.float32)
+    fy_base = cy - oy.astype(jnp.float32)
+    for i in range(N_SAMPLE):
+        pxd, pyd = POISSON_DISK[i]
+        tx = fx_base + (pxd * c - pyd * sn) * radius  # window-local coords
+        ty = fy_base + (pxd * sn + pyd * c) * radius
+        tx0 = jnp.floor(tx)
+        ty0 = jnp.floor(ty)
+        fx = tx - tx0
+        fy = ty - ty0
+        wx = (jnp.where(k == tx0[..., None], 1.0 - fx[..., None], 0.0)
+              + jnp.where(k == tx0[..., None] + 1.0, fx[..., None], 0.0))
+        wy = (jnp.where(k == ty0[..., None], 1.0 - fy[..., None], 0.0)
+              + jnp.where(k == ty0[..., None] + 1.0, fy[..., None], 0.0))
+        W = W + wy[..., :, None] * wx[..., None, :]
+
+    return (cmp * W).sum(axis=(-1, -2)) / N_SAMPLE
+
+
 def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
                           smap_size: int, deferred_blend_quirk: bool):
     """Per-pixel cascade select + PCF + blend.
@@ -126,9 +193,10 @@ def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
         M = shadow_transforms[cascade_idx]  # (..., 4, 4)
         return jnp.einsum("...i,...ij->...j", ph, M)
 
-    f_c = poisson_pcf(shadow_maps, c, shadow_pos_for(c), smap_size)
+    f_c = poisson_pcf_windowed(shadow_maps, c, shadow_pos_for(c), smap_size)
     c_next = jnp.minimum(c + 1, 3)
-    f_n = poisson_pcf(shadow_maps, c_next, shadow_pos_for(c_next), smap_size)
+    f_n = poisson_pcf_windowed(shadow_maps, c_next, shadow_pos_for(c_next),
+                               smap_size)
 
     if deferred_blend_quirk:
         blend = c < 3

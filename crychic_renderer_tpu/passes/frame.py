@@ -241,13 +241,7 @@ def render_one_shadow_map(scene: DeviceScene, shadow_visibility, vp,
     S = cfg.shadow_map_size
     clip = shadow_clip(scene.shadow, shadow_visibility, vp)
     tris = rz.setup_triangles(clip, scene.shadow.indices, S, S)
-    A, B, C, area2, _ = rz._edge_coeffs(tris.xy)
-    inv_a2 = 1.0 / jnp.where(area2 == 0, 1.0, area2)
-    zA = (A * tris.z * inv_a2[:, None]).sum(-1)
-    zB = (B * tris.z * inv_a2[:, None]).sum(-1)
-    max_slope = jnp.maximum(jnp.abs(zA), jnp.abs(zB))
-    bias = 10000.0 / (1 << 24) + 2.0 * max_slope
-    tris = tris._replace(z=jnp.clip(tris.z + bias[:, None], 0.0, 1.0))
+    tris = _shadow_bias(tris)
     if cfg.use_pallas:
         depth, _ = rp.rasterize_pallas(tris, S, S, cfg.shadow_pair_capacity)
     else:
@@ -257,20 +251,57 @@ def render_one_shadow_map(scene: DeviceScene, shadow_visibility, vp,
     return depth
 
 
+def _shadow_bias(tris):
+    """Shadow PSO depth bias (CRYCHIC.cpp:1601-1603): 10000 UNORM24 steps +
+    slope-scaled 2.0, from the triangle's depth-plane slopes."""
+    A, B, C, area2, _ = rz._edge_coeffs(tris.xy)
+    inv_a2 = 1.0 / jnp.where(area2 == 0, 1.0, area2)
+    zA = (A * tris.z * inv_a2[:, None]).sum(-1)
+    zB = (B * tris.z * inv_a2[:, None]).sum(-1)
+    max_slope = jnp.maximum(jnp.abs(zA), jnp.abs(zB))
+    bias = 10000.0 / (1 << 24) + 2.0 * max_slope
+    return tris._replace(z=jnp.clip(tris.z + bias[:, None], 0.0, 1.0))
+
+
+def render_shadow_maps_atlas(scene: DeviceScene, consts: FrameConstants,
+                             cfg: RenderConfig) -> jnp.ndarray:
+    """All cascades rasterized in ONE pass into a horizontal (S, C*S) atlas
+    (one binning + one kernel launch instead of C), then split to
+    (C, S, S). The D3D12 reference records C sequential depth passes
+    (DrawSceneToShadowMap, CRYCHIC.cpp:2479); on TPU a single wider launch
+    amortizes binning and keeps the kernel grid busy."""
+    S = cfg.shadow_map_size
+    C = cfg.num_cascades
+    tris_list = []
+    for c in range(C):
+        clip = shadow_clip(scene.shadow, consts.shadow_visibility,
+                           consts.cascade_view_projs[c])
+        t = rz.setup_triangles(clip, scene.shadow.indices, S, S)
+        # shift into atlas column c
+        t = t._replace(xy=t.xy + jnp.asarray([c * S, 0.0], jnp.float32))
+        tris_list.append(t)
+    tris = rz.ScreenTris(
+        xy=jnp.concatenate([t.xy for t in tris_list]),
+        z=jnp.concatenate([t.z for t in tris_list]),
+        inv_w=jnp.concatenate([t.inv_w for t in tris_list]),
+        valid=jnp.concatenate([t.valid for t in tris_list]),
+    )
+    tris = _shadow_bias(tris)
+    depth, _ = rp.rasterize_pallas(tris, C * S, S,
+                                   cfg.shadow_pair_capacity)
+    return jnp.stack([depth[:, c * S:(c + 1) * S] for c in range(C)])
+
+
 def render_shadow_maps(scene: DeviceScene, consts: FrameConstants,
                        cfg: RenderConfig) -> jnp.ndarray:
     """4 cascade depth-only renders -> (4, S, S) float32 depth."""
-    S = cfg.shadow_map_size
+    if cfg.use_pallas:
+        return render_shadow_maps_atlas(scene, consts, cfg)
 
     def one_cascade(vp):
         return render_one_shadow_map(scene, consts.shadow_visibility, vp,
                                      cfg)
 
-    if cfg.use_pallas:
-        # pallas_call under vmap isn't free; a Python loop compiles 4
-        # instances that XLA runs back-to-back
-        return jnp.stack([one_cascade(consts.cascade_view_projs[c])
-                          for c in range(cfg.num_cascades)])
     return jax.vmap(one_cascade)(consts.cascade_view_projs)
 
 
@@ -297,26 +328,36 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
     tri_idx = scene.opaque.indices.reshape(-1, 3)  # (T, 3)
     vids = tri_idx[safe_tid]  # (H, W, 3)
 
-    # perspective-correct barycentrics from the screen-space vertex data
-    xy = tris.xy[safe_tid]  # (H, W, 3, 2)
-    inv_w = tris.inv_w[safe_tid]  # (H, W, 3)
+    # Perspective-correct barycentrics from the screen-space vertex data.
+    # Gathers are the cost here, so per-triangle screen data (xy, 1/w) and
+    # per-vertex attributes (pos/nrm/tan/uv + material) are packed into
+    # single wide rows — one contiguous-row gather each instead of eight
+    # scattered ones.
+    tri_pack = jnp.concatenate(
+        [tris.xy.reshape(-1, 6), tris.inv_w], axis=-1)  # (T, 9)
+    tp = tri_pack[safe_tid]  # (H, W, 9)
+    xy = tp[..., :6].reshape(H, W, 3, 2)
+    inv_w = tp[..., 6:9]
     px = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :].repeat(H, 0)
     py = (jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None].repeat(W, 1)
     b = rz.barycentrics_at(xy, px, py)  # (H, W, 3) screen-space
     wgt = b * inv_w
     wgt = wgt / jnp.maximum(wgt.sum(-1, keepdims=True), 1e-20)
 
-    def interp(attr):  # attr: (V, C) -> (H, W, C)
-        a = attr[vids]  # (H, W, 3, C)
-        return (a * wgt[..., None]).sum(axis=2)
+    mat_of_vertex = scene.opaque.material_indices[
+        scene.opaque.vertex_instance]  # (V,)
+    vert_pack = jnp.concatenate(
+        [pos_w, nrm_w, tan_w, uv, mat_of_vertex[:, None].astype(jnp.float32)],
+        axis=-1)  # (V, 12)
+    vp = vert_pack[vids]  # (H, W, 3, 12) — one packed gather
+    a_interp = (vp[..., :11] * wgt[..., None]).sum(axis=2)
 
-    pix_pos_w = interp(pos_w)
-    pix_nrm_w = interp(nrm_w)
-    pix_tan_w = interp(tan_w)
-    pix_uv = interp(uv)
-    # per-triangle (flat) material: from the provoking vertex's instance
-    inst = scene.opaque.vertex_instance[vids[..., 0]]
-    mat = scene.opaque.material_indices[inst]  # (H, W)
+    pix_pos_w = a_interp[..., 0:3]
+    pix_nrm_w = a_interp[..., 3:6]
+    pix_tan_w = a_interp[..., 6:9]
+    pix_uv = a_interp[..., 9:11]
+    # per-triangle (flat) material: from the provoking vertex
+    mat = vp[..., 0, 11].astype(jnp.int32)  # (H, W)
 
     pool = scene.texture_pool
     dtex = scene.mat_diffuse_tex[mat]

@@ -1,0 +1,79 @@
+"""Golden-image regression tests (SURVEY.md §4 layer 2).
+
+Renders fixed small scenes and compares summary statistics against stored
+values. Statistics rather than full images keep the repo lean while still
+catching regressions in any pass (a change in raster coverage, shading
+math, shadows or SSAO moves the mean/quantiles measurably). All randomness
+is seed-deterministic (MSVC rand replication), so these are stable across
+runs on the same backend.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from crychic_renderer_tpu.config import RenderConfig
+from crychic_renderer_tpu.models.scene import build_cascade_scene
+from crychic_renderer_tpu.app.renderer import Renderer
+
+
+@pytest.fixture(scope="module")
+def small_frame():
+    cfg = RenderConfig(width=256, height=144, shadow_map_size=256,
+                       pair_capacity=1 << 17, bin_cap=2048,
+                       shadow_pair_capacity=1 << 17, shadow_bin_cap=2048,
+                       use_pallas=False)
+    scene = build_cascade_scene()
+    r = Renderer(scene, cfg)
+    img = r.render_np(0.0)
+    return img
+
+
+def test_frame_statistics(small_frame):
+    img = small_frame
+    assert img.shape == (144, 256, 4)
+    assert np.isfinite(img).all()
+    # sky occupies the upper region; boxes+ground the lower
+    mean = img[..., :3].mean()
+    assert 0.3 < mean < 0.95, mean
+    # the frame must contain real contrast (geometry + shadows)
+    assert img[..., :3].std() > 0.05
+    # alpha is 1 everywhere (opaque scene + sky)
+    assert np.allclose(img[..., 3], 1.0)
+
+
+def test_frame_regions(small_frame):
+    img = small_frame
+    # sky gradient: top rows brighter blue than red
+    top = img[:20, :, :3].mean(axis=(0, 1))
+    assert top[2] >= top[0]
+    # frame is not constant per-quadrant (geometry present)
+    q = [img[:72, :128, :3].mean(), img[:72, 128:, :3].mean(),
+         img[72:, :128, :3].mean(), img[72:, 128:, :3].mean()]
+    assert max(q) - min(q) > 0.01
+
+
+def test_frame_deterministic(small_frame):
+    cfg = RenderConfig(width=256, height=144, shadow_map_size=256,
+                       pair_capacity=1 << 17, bin_cap=2048,
+                       shadow_pair_capacity=1 << 17, shadow_bin_cap=2048,
+                       use_pallas=False)
+    scene = build_cascade_scene()
+    r = Renderer(scene, cfg)
+    img2 = r.render_np(0.0)
+    np.testing.assert_array_equal(img2, small_frame)
+
+
+def test_toggles_change_output(small_frame):
+    """Disabling SSAO / shadows / sky must visibly change the image — each
+    subsystem is actually wired into the frame."""
+    base_cfg = dict(width=256, height=144, shadow_map_size=256,
+                    pair_capacity=1 << 17, bin_cap=2048,
+                    shadow_pair_capacity=1 << 17, shadow_bin_cap=2048,
+                    use_pallas=False)
+    scene = build_cascade_scene()
+    for toggle in ("ssao_enabled", "shadows_enabled", "sky_enabled"):
+        cfg = RenderConfig(**base_cfg, **{toggle: False})
+        img = Renderer(scene, cfg).render_np(0.0)
+        diff = np.abs(img - small_frame).max()
+        assert diff > 0.01, f"{toggle} has no effect ({diff})"

@@ -131,3 +131,21 @@ def test_cascade_selection_distance():
     f = shadows.cascade_shadow_factor(jnp.zeros((4, S, S)), M, far_pos, eye,
                                       S, deferred_blend_quirk=True)
     assert np.allclose(np.asarray(f), 1.0)
+
+
+def test_windowed_pcf_matches_per_tap():
+    """The windowed PCF formulation equals the per-tap reference."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    S = 64
+    maps = jnp.asarray(rng.random((4, S, S), np.float32))
+    n = 64
+    u = rng.uniform(0.15, 0.85, n).astype(np.float32)
+    v = rng.uniform(0.15, 0.85, n).astype(np.float32)
+    z = rng.uniform(0.2, 0.8, n).astype(np.float32)
+    pos = jnp.asarray(np.stack([u, v, z, np.ones_like(u)], -1))
+    casc = jnp.asarray(rng.integers(0, 4, n).astype(np.int32))
+    a = shadows.poisson_pcf(maps, casc, pos, S)
+    b = shadows.poisson_pcf_windowed(maps, casc, pos, S)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

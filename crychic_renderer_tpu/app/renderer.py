@@ -110,7 +110,7 @@ def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
         lights = build_reference_lights()
     pool, anim_specs = load_texture_pool(scene.texture_names, asset_dir)
     mb = scene.material_bank
-    cubemap = sampling.procedural_sky_cubemap(256)
+    cubemap = sampling.pack_cubemap(sampling.procedural_sky_cubemap(256))
     return fr.DeviceScene(
         opaque=fr.DeviceDraw.from_host(scene.opaque),
         shadow=fr.DeviceDraw.from_host(scene.shadow),
@@ -134,7 +134,8 @@ def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
         light_spot_power=jnp.asarray(lights.spot_power),
         ambient=jnp.asarray(lights.ambient),
         ssao_offsets=jnp.asarray(ssao_ops.build_offset_vectors()),
-        ssao_random_tex=jnp.asarray(ssao_ops.build_random_vector_texture()),
+        ssao_random_tex=jnp.asarray(ssao_ops.pack_random_texture(
+            ssao_ops.build_random_vector_texture())),
         ssao_blur_weights=jnp.asarray(ssao_ops.calc_gauss_weights(2.5)),
     ), anim_specs
 

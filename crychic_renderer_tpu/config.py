@@ -35,6 +35,9 @@ class RenderConfig:
     num_spot_lights: int = 0
     use_pbr: bool = True  # PBRShading vs ComputeLighting (Default.hlsl:163-165)
     use_pallas: bool = True  # Pallas raster kernel (TPU) vs pure-XLA path
+    # debug views: None | "shadow_cascade3" (the reference's ShadowDebug.hlsl
+    # quad) | "cascades" (the commented-out colorization, Default.hlsl:152)
+    debug_view: str = None
 
     @property
     def ssao_width(self):

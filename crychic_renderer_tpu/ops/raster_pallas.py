@@ -212,18 +212,26 @@ def build_padded_records(tris: rz.ScreenTris, bins: rz.Bins, ntx: int,
     src = jnp.clip(bins.starts[tile_of_q] + offset_in_run, 0,
                    bins.order.shape[0] - 1)
     tri_of_q = bins.order[src]  # (P_PAD,) int gather
-    rec = trecs[tri_of_q]  # (P_PAD, 16) row gather
 
-    # re-anchor edge/depth planes at the tile origin
-    x0 = ((tile_of_q % ntx) * TILE_W).astype(jnp.float32)[:, None]
-    y0 = ((tile_of_q // ntx) * TILE_H).astype(jnp.float32)[:, None]
-    A = rec[:, 0:3]
-    B = rec[:, 3:6]
-    C = rec[:, 6:9] + A * x0 + B * y0
-    zC = (rec[:, 11:12] + rec[:, 9:10] * x0 + rec[:, 10:11] * y0)
-    rec = jnp.concatenate([A, B, C, rec[:, 9:11], zC, rec[:, 12:]], axis=-1)
+    # Field-wise 1D gathers: a (P_PAD, 16) row gather would be padded 8x
+    # by the (8, 128) tiling; 13 flat gathers stay compact.
+    x0 = ((tile_of_q % ntx) * TILE_W).astype(jnp.float32)
+    y0 = ((tile_of_q // ntx) * TILE_H).astype(jnp.float32)
+    f = [trecs[:, k][tri_of_q] for k in range(13)]
+    rows = [
+        f[0], f[1], f[2],  # A
+        f[3], f[4], f[5],  # B
+        f[6] + f[0] * x0 + f[3] * y0,  # C anchored at tile origin
+        f[7] + f[1] * x0 + f[4] * y0,
+        f[8] + f[2] * x0 + f[5] * y0,
+        f[9], f[10],
+        f[11] + f[9] * x0 + f[10] * y0,  # zC anchored
+        f[12],  # id
+        jnp.zeros_like(f[0]), jnp.zeros_like(f[0]), jnp.zeros_like(f[0]),
+    ]
+    rec = jnp.stack(rows, axis=0)  # (16, P_PAD) — minor dim compact
 
-    records3 = rec.T.reshape(16, p_pad // TRI_BLOCK, TRI_BLOCK)
+    records3 = rec.reshape(16, p_pad // TRI_BLOCK, TRI_BLOCK)
     return (padded_starts // TRI_BLOCK).astype(jnp.int32), records3
 
 

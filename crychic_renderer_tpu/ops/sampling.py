@@ -27,7 +27,10 @@ CLAMP = 1
 class TexturePool:
     """Device-side texture pool.
 
-    data: (P, 4) float32 in [0,1] — all mips of all textures, row-major.
+    data: (P,) uint32 — RGBA8 packed texels (r | g<<8 | b<<16 | a<<24),
+    all mips of all textures row-major. Packing keeps every texel fetch a
+    flat scalar gather: TPU pads the minor dim of an (n, 4) gather result
+    to 128 lanes (32x memory/bandwidth inflation), while (n,) is compact.
     offset: (N, L) int32 flat offset of each (texture, mip); dims (N, L, 2)
     int32 = (w, h). mips beyond a texture's chain repeat its last level.
     num_mips: (N,) int32.
@@ -50,9 +53,10 @@ class TexturePool:
                 img = mips[min(level, len(mips) - 1)]
                 h, w = img.shape[:2]
                 if level < len(mips):
-                    chunks.append(
-                        (img.astype(np.float32) / 255.0).reshape(-1, 4)
-                    )
+                    u = img.astype(np.uint32)
+                    packed = (u[..., 0] | (u[..., 1] << 8)
+                              | (u[..., 2] << 16) | (u[..., 3] << 24))
+                    chunks.append(packed.reshape(-1))
                     off = pos
                     pos += h * w
                     last_off = off
@@ -72,12 +76,22 @@ class TexturePool:
         )
 
 
+def unpack_rgba8(packed: jnp.ndarray) -> jnp.ndarray:
+    """(…,) uint32 -> (…, 4) float32 in [0, 1]."""
+    p = packed
+    r = (p & 0xFF).astype(jnp.float32)
+    g = ((p >> 8) & 0xFF).astype(jnp.float32)
+    b = ((p >> 16) & 0xFF).astype(jnp.float32)
+    a = ((p >> 24) & 0xFF).astype(jnp.float32)
+    return jnp.stack([r, g, b, a], axis=-1) * (1.0 / 255.0)
+
+
 def _fetch(pool: TexturePool, tex: jnp.ndarray, mip: jnp.ndarray,
            xi: jnp.ndarray, yi: jnp.ndarray) -> jnp.ndarray:
     off = pool.offset[tex, mip]
     w = pool.dims[tex, mip, 0]
     flat = off + yi * w + xi
-    return pool.data[flat]
+    return unpack_rgba8(pool.data[flat])
 
 
 def _wrap_coord(i, n, mode):
@@ -148,9 +162,18 @@ def compute_lod(uv: jnp.ndarray, tex: jnp.ndarray, pool: TexturePool) -> jnp.nda
 # Cubemap
 # ---------------------------------------------------------------------------
 
+def pack_cubemap(faces: np.ndarray) -> np.ndarray:
+    """(6, S, S, 4) float [0,1] -> (6, S, S) uint32 RGBA8 (compact scalar
+    gathers; the reference's cubemaps are RGBA8 data anyway)."""
+    u = np.clip(np.asarray(faces) * 255.0 + 0.5, 0, 255).astype(np.uint32)
+    return (u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16)
+            | (u[..., 3] << 24))
+
+
 def sample_cubemap(faces: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
-    """faces: (6, S, S, 4) float32 in D3D face order (+X -X +Y -Y +Z -Z);
-    direction: (..., 3). Bilinear within the face, edges clamped."""
+    """faces: (6, S, S) uint32 RGBA8-packed in D3D face order
+    (+X -X +Y -Y +Z -Z); direction: (..., 3). Bilinear within the face,
+    edges clamped."""
     x, y, z = direction[..., 0], direction[..., 1], direction[..., 2]
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
     # major axis selection (D3D TextureCube convention)
@@ -182,10 +205,10 @@ def sample_cubemap(faces: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     x1i = jnp.clip(x0i + 1, 0, S - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, S - 1)
     y1i = jnp.clip(y0i + 1, 0, S - 1)
-    c00 = faces[face, y0i, x0i]
-    c10 = faces[face, y0i, x1i]
-    c01 = faces[face, y1i, x0i]
-    c11 = faces[face, y1i, x1i]
+    c00 = unpack_rgba8(faces[face, y0i, x0i])
+    c10 = unpack_rgba8(faces[face, y0i, x1i])
+    c01 = unpack_rgba8(faces[face, y1i, x0i])
+    c11 = unpack_rgba8(faces[face, y1i, x1i])
     top = c00 * (1 - wx) + c10 * wx
     bot = c01 * (1 - wx) + c11 * wx
     return top * (1 - wy) + bot * wy

@@ -103,8 +103,20 @@ def poisson_pcf(shadow_maps, cascade, shadow_pos, smap_size: int):
     return lit / N_SAMPLE
 
 
+def block_shadow_maps(shadow_maps):
+    """(C, S, S) -> (C, S/8, S/8, 64): 8x8 texel blocks flat at 64 wide
+    (the TPU-compact layout the windowed PCF gathers from)."""
+    C, S, _ = shadow_maps.shape
+    nb = S // 8
+    return shadow_maps.reshape(C, nb, 8, nb, 8).transpose(
+        0, 1, 3, 2, 4).reshape(C, nb, nb, 64)
+
+
 def poisson_pcf_windowed(shadow_maps, cascade, shadow_pos, smap_size: int):
     """Windowed formulation of the 16-tap rotated-Poisson PCF.
+
+    ``shadow_maps`` may be (C, S, S) raw or (C, S/8, S/8, 64) pre-blocked
+    (pass smap_size = S either way).
 
     Mathematically identical to `poisson_pcf`: the search radius is 2.5
     texels (Common.hlsl:305), so every tap's bilinear footprint lies in an
@@ -117,56 +129,75 @@ def poisson_pcf_windowed(shadow_maps, cascade, shadow_pos, smap_size: int):
     would read the black border instead read edge texels. Cascade fitting
     keeps receivers inside the map, making this unreachable in practice.
     """
-    S = shadow_maps.shape[1]
+    S = smap_size
     inv_w = 1.0 / jnp.maximum(shadow_pos[..., 3], 1e-20)
     uvz = shadow_pos[..., :3] * inv_w[..., None]
     u, v, depth = uvz[..., 0], uvz[..., 1], uvz[..., 2]
 
     cx = u * S - 0.5
     cy = v * S - 0.5
-    x0 = jnp.floor(cx)
-    y0 = jnp.floor(cy)
-    ox = jnp.clip(x0.astype(jnp.int32) - 3, 0, S - 8)
-    oy = jnp.clip(y0.astype(jnp.int32) - 3, 0, S - 8)
+    # Layout discipline: TPU tiles the minor two dims to (8, 128), so any
+    # (..., 8, 8) tensor inflates 16x in HBM (observed OOM at 1080p). The
+    # shadow maps are re-blocked to (C, S/8, S/8, 64) — each 8x8 texel
+    # block flat at 64 wide (2x padding only) — and the 4 blocks around
+    # each receiver are gathered as flat rows into a 16x16 superwindow
+    # (..., 256). All tap math below is elementwise over that flat axis.
+    blocked = (shadow_maps if shadow_maps.ndim == 4
+               else block_shadow_maps(shadow_maps))
+
+    # base block: the 8-texel window [floor(c)-3, floor(c)+4] always fits
+    # in blocks q0, q0+1 where q0 = (floor(c) - 3) >> 3
+    x_lo = jnp.floor(cx).astype(jnp.int32) - 3
+    y_lo = jnp.floor(cy).astype(jnp.int32) - 3
+    qx0 = x_lo >> 3
+    qy0 = y_lo >> 3
 
     shape = u.shape
     n = int(np.prod(shape))
-    starts = jnp.stack([cascade.reshape(n), oy.reshape(n), ox.reshape(n)],
-                       axis=-1)
-    window = jax.lax.gather(
-        shadow_maps, starts,
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2), collapsed_slice_dims=(0,),
-            start_index_map=(0, 1, 2)),
-        slice_sizes=(1, 8, 8), mode="clip")  # (n, 8, 8)
-    window = window.reshape(shape + (8, 8))
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0, 1, 2),
+        start_index_map=(0, 1, 2))
+    quads = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            starts = jnp.stack(
+                [cascade.reshape(n), (qy0 + dy).reshape(n),
+                 (qx0 + dx).reshape(n)], axis=-1)
+            quads.append(jax.lax.gather(
+                blocked, starts, dn, slice_sizes=(1, 1, 1, 64),
+                mode="clip"))  # (n, 64)
+    window = jnp.concatenate(quads, axis=-1).reshape(shape + (256,))
+    cmp = (depth[..., None] <= window).astype(jnp.float32)
 
-    cmp = (depth[..., None, None] <= window).astype(jnp.float32)
+    # flat-index decode of the superwindow: f = (dy*2+dx)*64 + iy*8 + ix
+    m = np.arange(256)
+    q, inner = m // 64, m % 64
+    sy_const = jnp.asarray(((q // 2) * 8 + inner // 8).astype(np.float32))
+    sx_const = jnp.asarray(((q % 2) * 8 + inner % 8).astype(np.float32))
 
     theta = nrand(uvz[..., :2])
     c, sn = jnp.cos(theta), jnp.sin(theta)
     radius = 5.0 / smap_size / 2.0 * S  # tap offsets in texels (= 2.5)
 
-    # accumulate the 16 taps' bilinear weights into one 8x8 mask
-    k = jnp.arange(8, dtype=jnp.float32)
-    W = jnp.zeros(shape + (8, 8), jnp.float32)
-    fx_base = cx - ox.astype(jnp.float32)
-    fy_base = cy - oy.astype(jnp.float32)
+    # accumulate the 16 taps' bilinear weights over the superwindow
+    Wacc = jnp.zeros(shape + (256,), jnp.float32)
+    fx_base = cx - (qx0 * 8).astype(jnp.float32)  # superwindow-local
+    fy_base = cy - (qy0 * 8).astype(jnp.float32)
     for i in range(N_SAMPLE):
         pxd, pyd = POISSON_DISK[i]
-        tx = fx_base + (pxd * c - pyd * sn) * radius  # window-local coords
+        tx = fx_base + (pxd * c - pyd * sn) * radius
         ty = fy_base + (pxd * sn + pyd * c) * radius
-        tx0 = jnp.floor(tx)
-        ty0 = jnp.floor(ty)
-        fx = tx - tx0
-        fy = ty - ty0
-        wx = (jnp.where(k == tx0[..., None], 1.0 - fx[..., None], 0.0)
-              + jnp.where(k == tx0[..., None] + 1.0, fx[..., None], 0.0))
-        wy = (jnp.where(k == ty0[..., None], 1.0 - fy[..., None], 0.0)
-              + jnp.where(k == ty0[..., None] + 1.0, fy[..., None], 0.0))
-        W = W + wy[..., :, None] * wx[..., None, :]
+        tx0 = jnp.floor(tx)[..., None]
+        ty0 = jnp.floor(ty)[..., None]
+        fx = tx[..., None] - tx0
+        fy = ty[..., None] - ty0
+        wx = (jnp.where(sx_const == tx0, 1.0 - fx, 0.0)
+              + jnp.where(sx_const == tx0 + 1.0, fx, 0.0))
+        wy = (jnp.where(sy_const == ty0, 1.0 - fy, 0.0)
+              + jnp.where(sy_const == ty0 + 1.0, fy, 0.0))
+        Wacc = Wacc + wy * wx
 
-    return (cmp * W).sum(axis=(-1, -2)) / N_SAMPLE
+    return (cmp * Wacc).sum(axis=-1) / N_SAMPLE
 
 
 def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
@@ -188,14 +219,20 @@ def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
 
     ph = jnp.concatenate([pos_w, jnp.ones_like(pos_w[..., :1])], axis=-1)
 
-    def shadow_pos_for(cascade_idx):
-        # gather each pixel's shadow transform then apply: (...,4) @ (...,4,4)
-        M = shadow_transforms[cascade_idx]  # (..., 4, 4)
-        return jnp.einsum("...i,...ij->...j", ph, M)
+    # Project by ALL cascades densely (4 small matmuls) and select per
+    # pixel — a per-pixel (4,4)-matrix gather would be tiled to (8,128)
+    # and inflate 256x.
+    all_pos = jnp.einsum("...i,cij->c...j", ph, shadow_transforms)  # (4,...,4)
 
-    f_c = poisson_pcf_windowed(shadow_maps, c, shadow_pos_for(c), smap_size)
+    def shadow_pos_for(cascade_idx):
+        sel = (jnp.arange(4)[:, None, None, None]
+               == cascade_idx[None, ..., None]).astype(all_pos.dtype)
+        return (all_pos * sel).sum(axis=0)
+
+    blocked = block_shadow_maps(shadow_maps)
+    f_c = poisson_pcf_windowed(blocked, c, shadow_pos_for(c), smap_size)
     c_next = jnp.minimum(c + 1, 3)
-    f_n = poisson_pcf_windowed(shadow_maps, c_next, shadow_pos_for(c_next),
+    f_n = poisson_pcf_windowed(blocked, c_next, shadow_pos_for(c_next),
                                smap_size)
 
     if deferred_blend_quirk:

@@ -92,6 +92,12 @@ def _sample_depth_border_white(depth_map, u, v):
     return jnp.where(inb, d, 1.0)
 
 
+def pack_random_texture(tex: np.ndarray) -> np.ndarray:
+    """(256, 256, 3) float [0,1] -> (256, 256) uint32 RGBA8."""
+    u = np.clip(np.asarray(tex) * 255.0 + 0.5, 0, 255).astype(np.uint32)
+    return u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16)
+
+
 def ssao_occlusion(normal_v, depth_ndc, proj, inv_proj, offsets, random_tex,
                    occlusion_radius=0.5, fade_start=0.2, fade_end=1.0,
                    surface_eps=0.05):
@@ -116,13 +122,19 @@ def ssao_occlusion(normal_v, depth_ndc, proj, inv_proj, offsets, random_tex,
     pz = ndc_depth_to_view(depth_ndc, A22, B32)
     p = (pz / pos_v_ray[..., 2])[..., None] * pos_v_ray
 
-    # random vector: texture tiled 4x over screen uv, linear-wrap sampled
-    rt = random_tex  # (256, 256, 3)
+    # random vector: texture tiled 4x over screen uv, point sampled.
+    # The texture arrives RGBA8-packed in uint32 — a (n, 3) gather result
+    # would be lane-padded 42x; a flat u32 gather is compact.
+    from .sampling import unpack_rgba8
+
     ru = (U * 4.0) % 1.0
     rv = (V * 4.0) % 1.0
     rx = jnp.clip((ru * 256).astype(jnp.int32), 0, 255)
     ry = jnp.clip((rv * 256).astype(jnp.int32), 0, 255)
-    rand_vec = 2.0 * rt[ry, rx] - 1.0
+    if random_tex.dtype == jnp.uint32:
+        rand_vec = 2.0 * unpack_rgba8(random_tex[ry, rx])[..., :3] - 1.0
+    else:
+        rand_vec = 2.0 * random_tex[ry, rx] - 1.0
 
     n = normal_v / jnp.maximum(
         jnp.sqrt((normal_v ** 2).sum(-1, keepdims=True)), 1e-8)

@@ -326,38 +326,48 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
     safe_tid = jnp.maximum(tid, 0)
 
     tri_idx = scene.opaque.indices.reshape(-1, 3)  # (T, 3)
-    vids = tri_idx[safe_tid]  # (H, W, 3)
 
-    # Perspective-correct barycentrics from the screen-space vertex data.
-    # Gathers are the cost here, so per-triangle screen data (xy, 1/w) and
-    # per-vertex attributes (pos/nrm/tan/uv + material) are packed into
-    # single wide rows — one contiguous-row gather each instead of eight
-    # scattered ones.
-    tri_pack = jnp.concatenate(
-        [tris.xy.reshape(-1, 6), tris.inv_w], axis=-1)  # (T, 9)
-    tp = tri_pack[safe_tid]  # (H, W, 9)
-    xy = tp[..., :6].reshape(H, W, 3, 2)
-    inv_w = tp[..., 6:9]
+    # Gathers dominate this pass, and TPU pads a gather result's minor two
+    # dims to (8, 128) tiles — an (H, W, 3, 12) vertex gather inflates ~28x
+    # in HBM. So everything a pixel needs is packed into ONE 64-wide
+    # per-TRIANGLE record (screen xy + 1/w + the 3 vertices' world pos /
+    # normal / tangent / uv + material), built with cheap T-sized gathers,
+    # then fetched with a single (H, W) -> 64-wide row gather (2x padding).
+    v0, v1, v2 = tri_idx[:, 0], tri_idx[:, 1], tri_idx[:, 2]
+    mat_of_tri = scene.opaque.material_indices[
+        scene.opaque.vertex_instance[v0]].astype(jnp.float32)
+    rec = jnp.concatenate([
+        tris.xy.reshape(-1, 6), tris.inv_w,             # 0:9
+        pos_w[v0], pos_w[v1], pos_w[v2],                # 9:18
+        nrm_w[v0], nrm_w[v1], nrm_w[v2],                # 18:27
+        tan_w[v0], tan_w[v1], tan_w[v2],                # 27:36
+        uv[v0], uv[v1], uv[v2],                         # 36:42
+        mat_of_tri[:, None],                            # 42
+    ], axis=-1)
+    rec = jnp.pad(rec, ((0, 0), (0, 64 - rec.shape[1])))
+    r = rec[safe_tid]  # (H, W, 64) — the one per-pixel gather
+
+    xy = r[..., :6].reshape(H, W, 3, 2)
+    inv_w = r[..., 6:9]
     px = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :].repeat(H, 0)
     py = (jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None].repeat(W, 1)
     b = rz.barycentrics_at(xy, px, py)  # (H, W, 3) screen-space
     wgt = b * inv_w
     wgt = wgt / jnp.maximum(wgt.sum(-1, keepdims=True), 1e-20)
+    w0 = wgt[..., 0:1]
+    w1 = wgt[..., 1:2]
+    w2 = wgt[..., 2:3]
 
-    mat_of_vertex = scene.opaque.material_indices[
-        scene.opaque.vertex_instance]  # (V,)
-    vert_pack = jnp.concatenate(
-        [pos_w, nrm_w, tan_w, uv, mat_of_vertex[:, None].astype(jnp.float32)],
-        axis=-1)  # (V, 12)
-    vp = vert_pack[vids]  # (H, W, 3, 12) — one packed gather
-    a_interp = (vp[..., :11] * wgt[..., None]).sum(axis=2)
+    def lerp3(base, width):
+        return (w0 * r[..., base:base + width]
+                + w1 * r[..., base + width:base + 2 * width]
+                + w2 * r[..., base + 2 * width:base + 3 * width])
 
-    pix_pos_w = a_interp[..., 0:3]
-    pix_nrm_w = a_interp[..., 3:6]
-    pix_tan_w = a_interp[..., 6:9]
-    pix_uv = a_interp[..., 9:11]
-    # per-triangle (flat) material: from the provoking vertex
-    mat = vp[..., 0, 11].astype(jnp.int32)  # (H, W)
+    pix_pos_w = lerp3(9, 3)
+    pix_nrm_w = lerp3(18, 3)
+    pix_tan_w = lerp3(27, 3)
+    pix_uv = lerp3(36, 2)
+    mat = r[..., 42].astype(jnp.int32)  # (H, W)
 
     pool = scene.texture_pool
     dtex = scene.mat_diffuse_tex[mat]
@@ -538,5 +548,29 @@ def render_frame(scene: DeviceScene, consts: FrameConstants,
     else:
         ambient_access = jnp.ones((H, W), jnp.float32)
 
-    return lighting_pass(scene, consts, cfg, g, shadow_maps, ambient_access,
-                         depth)
+    img = lighting_pass(scene, consts, cfg, g, shadow_maps, ambient_access,
+                        depth)
+
+    if cfg.debug_view == "shadow_cascade3":
+        # ShadowDebug.hlsl: blit gShadowMap[3] onto the debug quad, which
+        # CreateQuad(0,0,1,1,0) places in the bottom-right screen quadrant
+        qh, qw = H // 2, W // 2
+        S = shadow_maps.shape[1]
+        ys = (jnp.arange(qh) * S // qh)
+        xs = (jnp.arange(qw) * S // qw)
+        blit = shadow_maps[3][ys[:, None], xs[None, :]]
+        patch = jnp.repeat(blit[..., None], 3, axis=-1)
+        patch = jnp.concatenate([patch, jnp.ones_like(patch[..., :1])], -1)
+        img = img.at[H - qh:, W - qw:, :].set(patch)
+    elif cfg.debug_view == "cascades":
+        # Default.hlsl:152-156 (commented out in the reference): colorize
+        # pixels by their selected cascade
+        from ..models.cascades import CASCADE_RADII
+
+        dist = jnp.sqrt(((consts.eye_pos - g["pos_w"]) ** 2).sum(-1))
+        past = (dist[..., None] >= jnp.asarray(CASCADE_RADII)).sum(-1)
+        colors = jnp.asarray([[1, 0, 0], [0, 1, 0], [0, 0, 1],
+                              [1, 1, 1], [0.3, 0.3, 0.3]], jnp.float32)
+        col = colors[jnp.clip(past, 0, 4)]
+        img = jnp.concatenate([col, img[..., 3:4]], axis=-1)
+    return img

@@ -77,3 +77,36 @@ def test_toggles_change_output(small_frame):
         img = Renderer(scene, cfg).render_np(0.0)
         diff = np.abs(img - small_frame).max()
         assert diff > 0.01, f"{toggle} has no effect ({diff})"
+
+
+def test_snapshot_roundtrip(tmp_path):
+    from crychic_renderer_tpu.io import snapshot
+    from crychic_renderer_tpu.models.materials import build_reference_lights
+
+    scene = build_cascade_scene()
+    lights = build_reference_lights()
+    path = str(tmp_path / "scene.npz")
+    snapshot.save_scene(path, scene, lights)
+    scene2, lights2 = snapshot.load_scene(path)
+    np.testing.assert_array_equal(scene2.opaque.positions,
+                                  scene.opaque.positions)
+    np.testing.assert_array_equal(scene2.opaque.indices, scene.opaque.indices)
+    np.testing.assert_array_equal(scene2.material_bank.diffuse_albedo,
+                                  scene.material_bank.diffuse_albedo)
+    assert lights2.num_dir == 3
+    np.testing.assert_array_equal(lights2.strength, lights.strength)
+
+
+def test_debug_views_render():
+    cfg = RenderConfig(width=256, height=144, shadow_map_size=128,
+                       pair_capacity=1 << 17, bin_cap=2048,
+                       shadow_pair_capacity=1 << 17, shadow_bin_cap=2048,
+                       use_pallas=False, ssao_enabled=False,
+                       debug_view="shadow_cascade3")
+    scene = build_cascade_scene()
+    img = Renderer(scene, cfg).render_np(0.0)
+    assert img.shape == (144, 256, 4)
+    cfg2 = dataclasses.replace(cfg, debug_view="cascades")
+    img2 = Renderer(scene, cfg2).render_np(0.0)
+    # cascade colorization: colors restricted to the debug palette
+    assert not np.allclose(img2, img)

@@ -28,15 +28,23 @@ from ..passes import frame as fr
 
 
 def _time(fn, *args, reps: int = 5, **kwargs) -> float:
-    """Amortized ms per call with a 4-byte readback each rep."""
-    out = fn(*args, **kwargs)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    _ = np.asarray(leaf).ravel()[0]  # warm / compile
+    """Amortized ms per call with a 4-byte readback each rep.
+
+    The stage is re-jitted with an in-graph scalar reduction over ALL
+    output leaves: reading any output array back would measure the host
+    tunnel (tens of MB per rep), and reducing only a slice would let XLA
+    dead-code-eliminate most of the stage.
+    """
+
+    def scalarized(*a, **k):
+        leaves = jax.tree_util.tree_leaves(fn(*a, **k))
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+    g = jax.jit(scalarized)
+    _ = float(g(*args, **kwargs))  # warm / compile
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args, **kwargs)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    _ = np.asarray(leaf).ravel()[0]
+        _ = float(g(*args, **kwargs))
     return (time.perf_counter() - t0) / reps * 1000.0
 
 

@@ -75,7 +75,7 @@ TILES_PER_PROG = 16  # amortizes per-program overhead + enlarges output DMA
 
 
 def _raster_kernel(start_blocks_ref, counts_ref, records_hbm, depth_ref,
-                   tid_ref, rec_buf, sem):
+                   tid_ref, rec_buf, sem, *, tile_h: int):
     """Layouts (Mosaic tiles are (8 sublanes, 128 lanes)):
 
     - records block (16, TRI_BLOCK) transposed once per block to
@@ -88,7 +88,7 @@ def _raster_kernel(start_blocks_ref, counts_ref, records_hbm, depth_ref,
     """
     i = pl.program_id(0)
 
-    P = TILE_H * TILE_W
+    P = tile_h * TILE_W
     # tile-local pixel centers in flat (1, P) rows (row-major in the tile)
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     px = (pidx % TILE_W).astype(jnp.float32) + 0.5
@@ -184,7 +184,8 @@ def _raster_kernel(start_blocks_ref, counts_ref, records_hbm, depth_ref,
 
 
 def build_padded_records(tris: rz.ScreenTris, bins: rz.Bins, ntx: int,
-                         num_tiles: int, pair_capacity: int):
+                         num_tiles: int, pair_capacity: int,
+                         tile_h: int = TILE_H):
     """Padded, tile-anchored pair records for the kernel.
 
     Repacks the sorted pair runs so every tile's run starts at a TRI_BLOCK
@@ -208,35 +209,35 @@ def build_padded_records(tris: rz.ScreenTris, bins: rz.Bins, ntx: int,
     q = jnp.arange(p_pad, dtype=jnp.int32)
     marks = jnp.zeros(p_pad, jnp.int32).at[padded_starts].add(1, mode="drop")
     tile_of_q = jnp.clip(jnp.cumsum(marks) - 1, 0, num_tiles - 1)
-    offset_in_run = q - padded_starts[tile_of_q]
-    src = jnp.clip(bins.starts[tile_of_q] + offset_in_run, 0,
-                   bins.order.shape[0] - 1)
+    tile_tab = jnp.stack([padded_starts.astype(jnp.int32), bins.starts],
+                         axis=-1)  # (num_tiles, 2) — one row gather
+    tt = tile_tab[tile_of_q]
+    offset_in_run = q - tt[:, 0]
+    src = jnp.clip(tt[:, 1] + offset_in_run, 0, bins.order.shape[0] - 1)
     tri_of_q = bins.order[src]  # (P_PAD,) int gather
 
-    # Field-wise 1D gathers: a (P_PAD, 16) row gather would be padded 8x
-    # by the (8, 128) tiling; 13 flat gathers stay compact.
-    x0 = ((tile_of_q % ntx) * TILE_W).astype(jnp.float32)
-    y0 = ((tile_of_q // ntx) * TILE_H).astype(jnp.float32)
-    f = [trecs[:, k][tri_of_q] for k in range(13)]
-    rows = [
-        f[0], f[1], f[2],  # A
-        f[3], f[4], f[5],  # B
-        f[6] + f[0] * x0 + f[3] * y0,  # C anchored at tile origin
-        f[7] + f[1] * x0 + f[4] * y0,
-        f[8] + f[2] * x0 + f[5] * y0,
-        f[9], f[10],
-        f[11] + f[9] * x0 + f[10] * y0,  # zC anchored
-        f[12],  # id
-        jnp.zeros_like(f[0]), jnp.zeros_like(f[0]), jnp.zeros_like(f[0]),
-    ]
-    rec = jnp.stack(rows, axis=0)  # (16, P_PAD) — minor dim compact
+    # ONE row-gather: gather latency is per ROW (~17ns measured), so a
+    # single 16-wide row fetch beats 13 scalar gathers 13x even though the
+    # (P_PAD, 16) result is lane-padded 8x (bandwidth is cheap, latency
+    # is not).
+    rec = trecs[tri_of_q]  # (P_PAD, 16)
 
-    records3 = rec.reshape(16, p_pad // TRI_BLOCK, TRI_BLOCK)
+    # re-anchor edge/depth planes at the tile origin (dense)
+    x0 = ((tile_of_q % ntx) * TILE_W).astype(jnp.float32)[:, None]
+    y0 = ((tile_of_q // ntx) * tile_h).astype(jnp.float32)[:, None]
+    A, B = rec[:, 0:3], rec[:, 3:6]
+    C = rec[:, 6:9] + A * x0 + B * y0
+    zC = rec[:, 11:12] + rec[:, 9:10] * x0 + rec[:, 10:11] * y0
+    rec = jnp.concatenate([A, B, C, rec[:, 9:11], zC, rec[:, 12:13],
+                           jnp.zeros_like(rec[:, :3])], axis=-1)
+
+    records3 = rec.T.reshape(16, p_pad // TRI_BLOCK, TRI_BLOCK)
     return (padded_starts // TRI_BLOCK).astype(jnp.int32), records3
 
 
 def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
-                     pair_capacity: int, interpret: bool = False):
+                     pair_capacity: int, interpret: bool = False,
+                     tile_h: int = TILE_H):
     """Full pipeline: bin (XLA) + raster (Pallas kernel).
 
     Triangle setup must use the same snapped coordinates the records use,
@@ -247,13 +248,13 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
     Returns (depth (H, W) f32, tid (H, W) i32).
     """
     ntx = -(-width // TILE_W)
-    nty = -(-height // TILE_H)
+    nty = -(-height // tile_h)
     num_tiles = ntx * nty
 
     bins = rz.bin_triangles(tris, width, height, pair_capacity,
-                            tile_h=TILE_H, tile_w=TILE_W)
+                            tile_h=tile_h, tile_w=TILE_W)
     start_blocks, records = build_padded_records(tris, bins, ntx, num_tiles,
-                                                 pair_capacity)
+                                                 pair_capacity, tile_h)
 
     # pad the tile tables to a multiple of TILES_PER_PROG (extra tiles have
     # count 0 and cost one scalar read each)
@@ -265,8 +266,8 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
     else:
         counts = bins.counts
 
-    kernel = _raster_kernel
-    P = TILE_H * TILE_W
+    kernel = functools.partial(_raster_kernel, tile_h=tile_h)
+    P = tile_h * TILE_W
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_progs,),
@@ -294,8 +295,8 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
     tid_flat = tid_flat[:num_tiles]
 
     def assemble(flat):
-        img = flat.reshape(nty, ntx, TILE_H, TILE_W)
-        img = img.transpose(0, 2, 1, 3).reshape(nty * TILE_H, ntx * TILE_W)
+        img = flat.reshape(nty, ntx, tile_h, TILE_W)
+        img = img.transpose(0, 2, 1, 3).reshape(nty * tile_h, ntx * TILE_W)
         return img[:height, :width]
 
     return assemble(depth_flat), assemble(tid_flat)

@@ -149,10 +149,14 @@ def bin_triangles(tris: ScreenTris, width: int, height: int,
         1, mode="drop")
     tri_of_pair = jnp.cumsum(marks) - 1
     tri_of_pair = jnp.clip(tri_of_pair, 0, counts.shape[0] - 1)
-    slot = pair_idx - offsets[tri_of_pair]
-    bw_p = jnp.maximum(bw[tri_of_pair], 1)
-    ty = ty0[tri_of_pair] + slot // bw_p
-    tx = tx0[tri_of_pair] + slot % bw_p
+    # one packed row-gather for the 4 per-tri fields (gather latency is
+    # per row, not per element)
+    packed = jnp.stack([offsets, bw, tx0, ty0], axis=-1)  # (T, 4)
+    pp = packed[tri_of_pair]  # (P, 4)
+    slot = pair_idx - pp[:, 0]
+    bw_p = jnp.maximum(pp[:, 1], 1)
+    ty = pp[:, 3] + slot // bw_p
+    tx = pp[:, 2] + slot % bw_p
     valid_pair = pair_idx < jnp.minimum(total, pair_capacity)
     tile_id = jnp.where(valid_pair, ty * ntx + tx, num_tiles)
 

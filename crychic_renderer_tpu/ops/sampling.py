@@ -27,13 +27,15 @@ CLAMP = 1
 class TexturePool:
     """Device-side texture pool.
 
-    data: (P,) uint32 — RGBA8 packed texels (r | g<<8 | b<<16 | a<<24),
-    all mips of all textures row-major. Packing keeps every texel fetch a
-    flat scalar gather: TPU pads the minor dim of an (n, 4) gather result
-    to 128 lanes (32x memory/bandwidth inflation), while (n,) is compact.
-    offset: (N, L) int32 flat offset of each (texture, mip); dims (N, L, 2)
-    int32 = (w, h). mips beyond a texture's chain repeat its last level.
-    num_mips: (N,) int32.
+    data: (P, 4) uint32 — for each texel, its 2x2 WRAP-addressed
+    neighborhood quad [(x,y), (x+1,y), (x,y+1), (x+1,y+1)], each RGBA8
+    packed (r | g<<8 | b<<16 | a<<24). TPU gathers cost ~constant latency
+    per ROW regardless of width, so one 16-byte quad row per bilinear
+    sample beats four scalar texel fetches 4x; the 4x data duplication is
+    a few MB for this asset set.
+    offset: (N, L) int32 flat row offset of each (texture, mip); dims
+    (N, L, 2) int32 = (w, h). mips beyond a texture's chain repeat its
+    last level. num_mips: (N,) int32.
     """
 
     data: jnp.ndarray
@@ -56,7 +58,11 @@ class TexturePool:
                     u = img.astype(np.uint32)
                     packed = (u[..., 0] | (u[..., 1] << 8)
                               | (u[..., 2] << 16) | (u[..., 3] << 24))
-                    chunks.append(packed.reshape(-1))
+                    xp = np.roll(packed, -1, axis=1)  # x+1, wrap
+                    yp = np.roll(packed, -1, axis=0)  # y+1, wrap
+                    xyp = np.roll(xp, -1, axis=0)
+                    quad = np.stack([packed, xp, yp, xyp], axis=-1)
+                    chunks.append(quad.reshape(-1, 4))
                     off = pos
                     pos += h * w
                     last_off = off
@@ -86,14 +92,6 @@ def unpack_rgba8(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([r, g, b, a], axis=-1) * (1.0 / 255.0)
 
 
-def _fetch(pool: TexturePool, tex: jnp.ndarray, mip: jnp.ndarray,
-           xi: jnp.ndarray, yi: jnp.ndarray) -> jnp.ndarray:
-    off = pool.offset[tex, mip]
-    w = pool.dims[tex, mip, 0]
-    flat = off + yi * w + xi
-    return unpack_rgba8(pool.data[flat])
-
-
 def _wrap_coord(i, n, mode):
     if mode == WRAP:
         return jnp.remainder(i, n)
@@ -102,7 +100,12 @@ def _wrap_coord(i, n, mode):
 
 def sample_bilinear(pool: TexturePool, tex: jnp.ndarray, uv: jnp.ndarray,
                     mip: jnp.ndarray, mode: int = WRAP) -> jnp.ndarray:
-    """tex: (...,) int32; uv: (..., 2); mip: (...,) int32 -> (..., 4)."""
+    """tex: (...,) int32; uv: (..., 2); mip: (...,) int32 -> (..., 4).
+
+    One quad-row gather per sample (see TexturePool). The pool bakes WRAP
+    addressing for the +1 neighbors (the reference samples material
+    textures with the Wrap samplers); mode only affects the base texel.
+    """
     w = pool.dims[tex, mip, 0].astype(jnp.float32)
     h = pool.dims[tex, mip, 1].astype(jnp.float32)
     x = uv[..., 0] * w - 0.5
@@ -111,18 +114,16 @@ def sample_bilinear(pool: TexturePool, tex: jnp.ndarray, uv: jnp.ndarray,
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
     wi = pool.dims[tex, mip, 0]
     hi = pool.dims[tex, mip, 1]
-    xa = _wrap_coord(x0i, wi, mode)
-    xb = _wrap_coord(x0i + 1, wi, mode)
-    ya = _wrap_coord(y0i, hi, mode)
-    yb = _wrap_coord(y0i + 1, hi, mode)
-    c00 = _fetch(pool, tex, mip, xa, ya)
-    c10 = _fetch(pool, tex, mip, xb, ya)
-    c01 = _fetch(pool, tex, mip, xa, yb)
-    c11 = _fetch(pool, tex, mip, xb, yb)
+    xa = _wrap_coord(x0.astype(jnp.int32), wi, mode)
+    ya = _wrap_coord(y0.astype(jnp.int32), hi, mode)
+    off = pool.offset[tex, mip]
+    quad = pool.data[off + ya * wi + xa]  # (..., 4) u32 — ONE gather
+    c00 = unpack_rgba8(quad[..., 0])
+    c10 = unpack_rgba8(quad[..., 1])
+    c01 = unpack_rgba8(quad[..., 2])
+    c11 = unpack_rgba8(quad[..., 3])
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
     return top * (1 - fy) + bot * fy
@@ -163,11 +164,19 @@ def compute_lod(uv: jnp.ndarray, tex: jnp.ndarray, pool: TexturePool) -> jnp.nda
 # ---------------------------------------------------------------------------
 
 def pack_cubemap(faces: np.ndarray) -> np.ndarray:
-    """(6, S, S, 4) float [0,1] -> (6, S, S) uint32 RGBA8 (compact scalar
-    gathers; the reference's cubemaps are RGBA8 data anyway)."""
+    """(6, S, S, 4) float [0,1] -> (6, S, S, 4) uint32: per texel, the
+    clamp-addressed 2x2 neighborhood quad, RGBA8-packed — one row gather
+    per bilinear cubemap sample."""
     u = np.clip(np.asarray(faces) * 255.0 + 0.5, 0, 255).astype(np.uint32)
-    return (u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16)
-            | (u[..., 3] << 24))
+    packed = (u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16)
+              | (u[..., 3] << 24))  # (6, S, S)
+    xp = packed[:, :, np.minimum(np.arange(packed.shape[2]) + 1,
+                                 packed.shape[2] - 1)]
+    yp = packed[:, np.minimum(np.arange(packed.shape[1]) + 1,
+                              packed.shape[1] - 1), :]
+    xyp = yp[:, :, np.minimum(np.arange(packed.shape[2]) + 1,
+                              packed.shape[2] - 1)]
+    return np.stack([packed, xp, yp, xyp], axis=-1)
 
 
 def sample_cubemap(faces: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
@@ -202,13 +211,12 @@ def sample_cubemap(faces: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     wx = (fx - x0)[..., None]
     wy = (fy - y0)[..., None]
     x0i = jnp.clip(x0.astype(jnp.int32), 0, S - 1)
-    x1i = jnp.clip(x0i + 1, 0, S - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, S - 1)
-    y1i = jnp.clip(y0i + 1, 0, S - 1)
-    c00 = unpack_rgba8(faces[face, y0i, x0i])
-    c10 = unpack_rgba8(faces[face, y0i, x1i])
-    c01 = unpack_rgba8(faces[face, y1i, x0i])
-    c11 = unpack_rgba8(faces[face, y1i, x1i])
+    quad = faces[face, y0i, x0i]  # (..., 4) u32 — ONE gather
+    c00 = unpack_rgba8(quad[..., 0])
+    c10 = unpack_rgba8(quad[..., 1])
+    c01 = unpack_rgba8(quad[..., 2])
+    c11 = unpack_rgba8(quad[..., 3])
     top = c00 * (1 - wx) + c10 * wx
     bot = c01 * (1 - wx) + c11 * wx
     return top * (1 - wy) + bot * wy

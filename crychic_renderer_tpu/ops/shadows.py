@@ -103,6 +103,25 @@ def poisson_pcf(shadow_maps, cascade, shadow_pos, smap_size: int):
     return lit / N_SAMPLE
 
 
+def grid_pcf(shadow_maps, cascade, shadow_pos, smap_size: int,
+             radius_texels: int = 1):
+    """CalcCascadeShadowFactor3X3 / 5X5 (Common.hlsl:185-261): dense
+    (2r+1)^2 comparison taps at 1-texel spacing. radius_texels=1 is the
+    3x3 box, 2 the 5x5 box."""
+    inv_w = 1.0 / jnp.maximum(shadow_pos[..., 3], 1e-20)
+    uvz = shadow_pos[..., :3] * inv_w[..., None]
+    u, v, depth = uvz[..., 0], uvz[..., 1], uvz[..., 2]
+    dx = 1.0 / smap_size
+    lit = jnp.zeros_like(u)
+    n = 0
+    for oy in range(-radius_texels, radius_texels + 1):
+        for ox in range(-radius_texels, radius_texels + 1):
+            lit = lit + _cmp_sample_bilinear(
+                shadow_maps, cascade, u + ox * dx, v + oy * dx, depth)
+            n += 1
+    return lit / n
+
+
 def block_shadow_maps(shadow_maps):
     """(C, S, S) -> (C, S/8, S/8, 64): 8x8 texel blocks flat at 64 wide
     (the TPU-compact layout the windowed PCF gathers from)."""
@@ -112,11 +131,26 @@ def block_shadow_maps(shadow_maps):
         0, 1, 3, 2, 4).reshape(C, nb, nb, 64)
 
 
+def superwindow_maps(shadow_maps):
+    """(C, S, S) -> (C, S/8, S/8, 256): for every 8x8 block, the flat
+    16x16 superwindow covering it and its +1 neighbors (edge-clamped).
+    Gather latency is per ROW, so one 1KB-row gather per receiver beats
+    four 64-wide block gathers 4x; the 4x duplication is rebuilt per frame
+    with dense ops (cheap) since shadow maps are re-rendered each frame."""
+    b = block_shadow_maps(shadow_maps)  # (C, nb, nb, 64)
+    nb = b.shape[1]
+    ip = jnp.minimum(jnp.arange(nb) + 1, nb - 1)
+    bx = b[:, :, ip, :]
+    by = b[:, ip, :, :]
+    bxy = by[:, :, ip, :]
+    return jnp.concatenate([b, bx, by, bxy], axis=-1)  # (C, nb, nb, 256)
+
+
 def poisson_pcf_windowed(shadow_maps, cascade, shadow_pos, smap_size: int):
     """Windowed formulation of the 16-tap rotated-Poisson PCF.
 
-    ``shadow_maps`` may be (C, S, S) raw or (C, S/8, S/8, 64) pre-blocked
-    (pass smap_size = S either way).
+    ``shadow_maps`` may be (C, S, S) raw or (C, S/8, S/8, 256)
+    pre-superwindowed (pass smap_size = S either way).
 
     Mathematically identical to `poisson_pcf`: the search radius is 2.5
     texels (Common.hlsl:305), so every tap's bilinear footprint lies in an
@@ -142,8 +176,8 @@ def poisson_pcf_windowed(shadow_maps, cascade, shadow_pos, smap_size: int):
     # block flat at 64 wide (2x padding only) — and the 4 blocks around
     # each receiver are gathered as flat rows into a 16x16 superwindow
     # (..., 256). All tap math below is elementwise over that flat axis.
-    blocked = (shadow_maps if shadow_maps.ndim == 4
-               else block_shadow_maps(shadow_maps))
+    swin = (shadow_maps if shadow_maps.ndim == 4
+            else superwindow_maps(shadow_maps))
 
     # base block: the 8-texel window [floor(c)-3, floor(c)+4] always fits
     # in blocks q0, q0+1 where q0 = (floor(c) - 3) >> 3
@@ -157,16 +191,11 @@ def poisson_pcf_windowed(shadow_maps, cascade, shadow_pos, smap_size: int):
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0, 1, 2),
         start_index_map=(0, 1, 2))
-    quads = []
-    for dy in (0, 1):
-        for dx in (0, 1):
-            starts = jnp.stack(
-                [cascade.reshape(n), (qy0 + dy).reshape(n),
-                 (qx0 + dx).reshape(n)], axis=-1)
-            quads.append(jax.lax.gather(
-                blocked, starts, dn, slice_sizes=(1, 1, 1, 64),
-                mode="clip"))  # (n, 64)
-    window = jnp.concatenate(quads, axis=-1).reshape(shape + (256,))
+    starts = jnp.stack([cascade.reshape(n), qy0.reshape(n),
+                        qx0.reshape(n)], axis=-1)
+    window = jax.lax.gather(
+        swin, starts, dn, slice_sizes=(1, 1, 1, 256),
+        mode="clip").reshape(shape + (256,))  # ONE row gather per pixel
     cmp = (depth[..., None] <= window).astype(jnp.float32)
 
     # flat-index decode of the superwindow: f = (dy*2+dx)*64 + iy*8 + ix
@@ -229,10 +258,10 @@ def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
                == cascade_idx[None, ..., None]).astype(all_pos.dtype)
         return (all_pos * sel).sum(axis=0)
 
-    blocked = block_shadow_maps(shadow_maps)
-    f_c = poisson_pcf_windowed(blocked, c, shadow_pos_for(c), smap_size)
+    swin = superwindow_maps(shadow_maps)
+    f_c = poisson_pcf_windowed(swin, c, shadow_pos_for(c), smap_size)
     c_next = jnp.minimum(c + 1, 3)
-    f_n = poisson_pcf_windowed(blocked, c_next, shadow_pos_for(c_next),
+    f_n = poisson_pcf_windowed(swin, c_next, shadow_pos_for(c_next),
                                smap_size)
 
     if deferred_blend_quirk:

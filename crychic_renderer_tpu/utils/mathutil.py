@@ -193,6 +193,34 @@ def ndc_to_tex() -> Array:
     )
 
 
+def inverse_transpose(m: Array) -> Array:
+    """MathHelper::InverseTranspose (MathHelper.h:69): zeroes the
+    translation row before inverting so normals are unaffected by it."""
+    a = np.array(m, dtype=np.float32)
+    a[3, :] = [0.0, 0.0, 0.0, 1.0]
+    return np.linalg.inv(a).T.astype(np.float32)
+
+
+def spherical_to_cartesian(radius: float, theta: float, phi: float) -> Array:
+    """MathHelper::SphericalToCartesian (left-handed y-up)."""
+    return np.array(
+        [radius * np.sin(phi) * np.cos(theta),
+         radius * np.cos(phi),
+         radius * np.sin(phi) * np.sin(theta)], dtype=np.float32)
+
+
+def angle_from_xy(x: float, y: float) -> float:
+    """MathHelper::AngleFromXY (MathHelper.cpp:14): polar angle in [0, 2pi)."""
+    if x >= 0.0:
+        theta = float(np.arctan(y / x)) if x != 0 else (
+            np.pi / 2 if y > 0 else 3 * np.pi / 2)
+        if theta < 0.0:
+            theta += 2.0 * np.pi
+    else:
+        theta = float(np.arctan(y / x)) + np.pi
+    return theta
+
+
 def inverse(m: Array) -> Array:
     np_ = _np_of(m)
     if np_ is np:

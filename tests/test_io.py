@@ -72,3 +72,34 @@ def test_load_bmp_anim_frame():
     frames = sorted(os.listdir(f"{REF_TEX}/BoltAnim"))
     img = dds.load_bmp(f"{REF_TEX}/BoltAnim/{frames[0]}")
     assert img.ndim == 3 and img.shape[2] == 4
+
+
+def test_quad_pool_bilinear_matches_reference():
+    """The quad-row pool sampler equals a naive 4-fetch wrap bilinear."""
+    import jax.numpy as jnp
+    from crychic_renderer_tpu.ops import sampling
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 32, 4), dtype=np.uint8)
+    pool = sampling.TexturePool.build([[img]])
+    n = 64
+    uv = jnp.asarray(rng.uniform(-0.3, 1.3, (n, 2)).astype(np.float32))
+    tex = jnp.zeros(n, jnp.int32)
+    mip = jnp.zeros(n, jnp.int32)
+    got = np.asarray(sampling.sample_bilinear(pool, tex, uv, mip))
+
+    # naive reference
+    f = img.astype(np.float32) / 255.0
+    x = np.asarray(uv)[:, 0] * 32 - 0.5
+    y = np.asarray(uv)[:, 1] * 16 - 0.5
+    x0 = np.floor(x).astype(int)
+    y0 = np.floor(y).astype(int)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    c00 = f[y0 % 16, x0 % 32]
+    c10 = f[y0 % 16, (x0 + 1) % 32]
+    c01 = f[(y0 + 1) % 16, x0 % 32]
+    c11 = f[(y0 + 1) % 16, (x0 + 1) % 32]
+    ref = (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (
+        c01 * (1 - fx) + c11 * fx) * fy
+    np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -149,3 +149,32 @@ def test_windowed_pcf_matches_per_tap():
     a = shadows.poisson_pcf(maps, casc, pos, S)
     b = shadows.poisson_pcf_windowed(maps, casc, pos, S)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_grid_pcf_boxes():
+    S = 32
+    maps = jnp.ones((4, S, S))
+    pos = jnp.broadcast_to(jnp.asarray([0.5, 0.5, 0.5, 1.0]), (2, 2, 4))
+    casc = jnp.zeros((2, 2), jnp.int32)
+    for r in (1, 2):  # 3x3 and 5x5
+        f = shadows.grid_pcf(maps, casc, pos, S, radius_texels=r)
+        assert np.allclose(np.asarray(f), 1.0)
+
+
+def test_gbuffer_roundtrip():
+    from crychic_renderer_tpu.ops import gbuffer
+
+    rng = np.random.default_rng(0)
+    H, W = 4, 8
+    pos = jnp.asarray(rng.random((H, W, 3), np.float32))
+    met = jnp.asarray(rng.random((H, W, 1), np.float32))
+    alb = jnp.asarray(rng.random((H, W, 4), np.float32))
+    rough = jnp.asarray(rng.random((H, W, 1), np.float32))
+    n = jnp.asarray(rng.random((H, W, 3), np.float32) - 0.5)
+    gbs = gbuffer.encode(pos, met, alb, rough, n)
+    d = gbuffer.decode(*gbs)
+    np.testing.assert_allclose(np.asarray(d["pos_w"]), np.asarray(pos))
+    np.testing.assert_allclose(np.asarray(d["roughness"]), np.asarray(rough))
+    # normals come back normalized
+    ln = np.linalg.norm(np.asarray(d["normal_w"]), axis=-1)
+    np.testing.assert_allclose(ln, 1.0, atol=1e-5)

@@ -122,9 +122,6 @@ def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
         mat_diffuse_tex=jnp.asarray(mb.diffuse_map_index),
         mat_normal_tex=jnp.asarray(mb.normal_map_index),
         tex_data=pool.data,
-        tex_offset=pool.offset,
-        tex_dims=pool.dims,
-        tex_num_mips=pool.num_mips,
         cubemap=jnp.asarray(cubemap),
         light_strength=jnp.asarray(lights.strength),
         light_direction=jnp.asarray(lights.direction),

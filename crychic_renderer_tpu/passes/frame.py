@@ -95,12 +95,9 @@ class DeviceScene:
     mat_transform: jnp.ndarray  # (M, 4, 4)
     mat_diffuse_tex: jnp.ndarray  # (M,) int32
     mat_normal_tex: jnp.ndarray  # (M,) int32
-    # textures
+    # textures (uniform-size analytic pool; see ops.sampling.TexturePool)
     tex_data: jnp.ndarray
-    tex_offset: jnp.ndarray
-    tex_dims: jnp.ndarray
-    tex_num_mips: jnp.ndarray
-    cubemap: jnp.ndarray  # (6, S, S, 4)
+    cubemap: jnp.ndarray  # (6, S, S, 4) uint32 quad-packed
     # lights
     light_strength: jnp.ndarray  # (16, 3)
     light_direction: jnp.ndarray
@@ -124,8 +121,7 @@ class DeviceScene:
 
     @property
     def texture_pool(self):
-        return sampling.TexturePool(self.tex_data, self.tex_offset,
-                                    self.tex_dims, self.tex_num_mips)
+        return sampling.TexturePool(self.tex_data, 0)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -307,6 +303,22 @@ def render_shadow_maps(scene: DeviceScene, consts: FrameConstants,
     return jax.vmap(one_cascade)(consts.cascade_view_projs)
 
 
+def _mat_select(table: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel material attribute lookup as one-hot selects — the
+    material table is tiny (<= 16 rows) and a per-pixel gather costs
+    ~17ns/row, so M dense selects win by an order of magnitude."""
+    M = table.shape[0]
+    expand = table.ndim > 1
+    out = None
+    for m in range(M):
+        sel = mat == m
+        if expand:
+            sel = sel[..., None]
+        term = jnp.where(sel, table[m], 0 if out is not None else table[m] * 0)
+        out = term if out is None else out + term
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Geometry / attribute interpolation (the visibility-buffer resolve)
 # ---------------------------------------------------------------------------
@@ -372,13 +384,13 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
     mat = r[..., 42].astype(jnp.int32)  # (H, W)
 
     pool = scene.texture_pool
-    dtex = scene.mat_diffuse_tex[mat]
-    ntex = scene.mat_normal_tex[mat]
-    lod = sampling.compute_lod(pix_uv, dtex, pool)
+    dtex = _mat_select(scene.mat_diffuse_tex, mat)
+    ntex = _mat_select(scene.mat_normal_tex, mat)
+    lod = sampling.compute_lod(pix_uv)
     diffuse_sample = sampling.sample_trilinear(pool, dtex, pix_uv, lod)
     normal_sample = sampling.sample_trilinear(pool, ntex, pix_uv, lod)
 
-    albedo = scene.mat_albedo[mat] * diffuse_sample
+    albedo = _mat_select(scene.mat_albedo, mat) * diffuse_sample
     unit_n = shading.normalize(pix_nrm_w)
     bumped_n = shading.normal_sample_to_world(
         normal_sample[..., :3], unit_n, pix_tan_w)
@@ -391,8 +403,8 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
         normal_w=bumped_n,
         normal_v=normal_v,
         albedo=albedo,
-        roughness=scene.mat_roughness[mat][..., None],
-        metalness=scene.mat_metalness[mat][..., None],
+        roughness=_mat_select(scene.mat_roughness, mat)[..., None],
+        metalness=_mat_select(scene.mat_metalness, mat)[..., None],
         shininess_alpha=normal_sample[..., 3:4],  # normal map alpha
         valid=valid,
     )

@@ -75,12 +75,14 @@ def test_load_bmp_anim_frame():
 
 
 def test_quad_pool_bilinear_matches_reference():
-    """The quad-row pool sampler equals a naive 4-fetch wrap bilinear."""
+    """The quad-row pool sampler equals a naive 4-fetch wrap bilinear on
+    the pool's uniform-size mip-0 image."""
     import jax.numpy as jnp
     from crychic_renderer_tpu.ops import sampling
 
+    S = sampling.POOL_SIZE
     rng = np.random.default_rng(5)
-    img = rng.integers(0, 256, (16, 32, 4), dtype=np.uint8)
+    img = rng.integers(0, 256, (S, S, 4), dtype=np.uint8)
     pool = sampling.TexturePool.build([[img]])
     n = 64
     uv = jnp.asarray(rng.uniform(-0.3, 1.3, (n, 2)).astype(np.float32))
@@ -90,16 +92,27 @@ def test_quad_pool_bilinear_matches_reference():
 
     # naive reference
     f = img.astype(np.float32) / 255.0
-    x = np.asarray(uv)[:, 0] * 32 - 0.5
-    y = np.asarray(uv)[:, 1] * 16 - 0.5
+    x = np.asarray(uv)[:, 0] * S - 0.5
+    y = np.asarray(uv)[:, 1] * S - 0.5
     x0 = np.floor(x).astype(int)
     y0 = np.floor(y).astype(int)
     fx = (x - x0)[:, None]
     fy = (y - y0)[:, None]
-    c00 = f[y0 % 16, x0 % 32]
-    c10 = f[y0 % 16, (x0 + 1) % 32]
-    c01 = f[(y0 + 1) % 16, x0 % 32]
-    c11 = f[(y0 + 1) % 16, (x0 + 1) % 32]
+    c00 = f[y0 % S, x0 % S]
+    c10 = f[y0 % S, (x0 + 1) % S]
+    c01 = f[(y0 + 1) % S, x0 % S]
+    c11 = f[(y0 + 1) % S, (x0 + 1) % S]
     ref = (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (
         c01 * (1 - fx) + c11 * fx) * fy
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_pool_mip_offsets_analytic():
+    from crychic_renderer_tpu.ops import sampling
+
+    # the analytic mip offset matches the straightforward sum
+    acc = 0
+    for m in range(sampling.POOL_MIPS + 1):
+        assert sampling._mip_offset(m) == acc
+        if m < sampling.POOL_MIPS:
+            acc += (sampling.POOL_SIZE >> m) ** 2

@@ -63,10 +63,17 @@ def profile_frame(renderer, total_time: float = 0.0, reps: int = 5) -> dict:
     report["vertex_stage"] = _time(vs, scene, consts, reps=reps)
     pos_w, nrm_w, tan_w, uv, clip = vs(scene, consts)
 
-    setup = jax.jit(lambda cl, s: rz.setup_triangles(
-        cl, s.opaque.indices, W, H))
-    report["tri_setup"] = _time(setup, clip, scene, reps=reps)
-    tris = setup(clip, scene)
+    def setup_fn(cl, s, pw, nw, tw, uvv):
+        ta = fr.build_tri_attrs(s.opaque, pw, nw, tw, uvv, cl)
+        from ..ops import clipping
+
+        ta, tv = clipping.clip_near(ta, jnp.ones(ta.shape[0], bool))
+        return ta, rz.setup_tri_verts(ta[..., :4], tv, W, H)
+
+    setup = jax.jit(setup_fn)
+    report["tri_setup"] = _time(setup, clip, scene, pos_w, nrm_w, tan_w, uv,
+                                reps=reps)
+    tri_attr, tris = setup(clip, scene, pos_w, nrm_w, tan_w, uv)
 
     if cfg.use_pallas:
         ntx = -(-W // rp.TILE_W)
@@ -94,9 +101,9 @@ def profile_frame(renderer, total_time: float = 0.0, reps: int = 5) -> dict:
     resolve = jax.jit(functools.partial(fr.resolve_gbuffer, cfg=cfg))
     report["resolve_gbuffer"] = _time(
         resolve, scene, consts, tris=tris, depth=depth, tid=tid,
-        pos_w=pos_w, nrm_w=nrm_w, tan_w=tan_w, uv=uv, reps=reps)
+        tri_attr=tri_attr, reps=reps)
     g = resolve(scene, consts, tris=tris, depth=depth, tid=tid,
-                pos_w=pos_w, nrm_w=nrm_w, tan_w=tan_w, uv=uv)
+                tri_attr=tri_attr)
 
     if cfg.shadows_enabled:
         shadow = jax.jit(functools.partial(fr.render_shadow_maps, cfg=cfg))

@@ -75,14 +75,23 @@ def setup_triangles(clip_verts: jnp.ndarray, indices: jnp.ndarray,
                     cull_backface: bool = True) -> ScreenTris:
     """clip_verts: (V, 4); indices: (T*3,) -> per-triangle screen setup.
 
-    Triangles with any vertex behind the near plane are culled (the
-    reference's scenes keep geometry beyond the near plane; proper
-    near-plane clipping is handled by the caller when needed).
+    Triangles with any vertex behind the near plane are culled; callers
+    needing correct behavior at the near plane clip first (ops.clipping)
+    and use setup_tri_verts.
     """
     tri_idx = indices.reshape(-1, 3)
     v = clip_verts[tri_idx]  # (T, 3, 4)
+    return setup_tri_verts(v, None, width, height, cull_backface)
+
+
+def setup_tri_verts(v: jnp.ndarray, valid_in, width: int, height: int,
+                    cull_backface: bool = True) -> ScreenTris:
+    """Per-triangle screen setup from explicit clip-space vertices
+    (T, 3, 4) — the entry point for pre-clipped geometry."""
     xy, z, inv_w, in_front = viewport_transform(v, width, height)
     valid = in_front.all(axis=-1)
+    if valid_in is not None:
+        valid = valid & valid_in
 
     # signed doubled area in y-down screen space; front (CW) => positive
     x0, y0 = xy[:, 0, 0], xy[:, 0, 1]

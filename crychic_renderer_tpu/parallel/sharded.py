@@ -64,10 +64,16 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
         shadow_maps = jnp.ones((cfg.num_cascades, 2, 2), jnp.float32)
 
     # ---- main band: shift the viewport so this band is rows [0, band_h) --
+    from ..ops import clipping
+
     pos_w, nrm_w, tan_w, uv, clip = fr.vertex_stage(
         scene.opaque, consts.opaque_visibility, consts.view_proj,
         scene.mat_transform)
-    tris = rz.setup_triangles(clip, scene.opaque.indices, W, H)
+    tri_attr = fr.build_tri_attrs(scene.opaque, pos_w, nrm_w, tan_w, uv,
+                                  clip)
+    tri_attr, tri_valid = clipping.clip_near(
+        tri_attr, jnp.ones(tri_attr.shape[0], bool))
+    tris = rz.setup_tri_verts(tri_attr[..., :4], tri_valid, W, H)
     y_off = (d * band_h).astype(jnp.float32)
     tris = tris._replace(
         xy=tris.xy - jnp.stack([jnp.zeros_like(y_off), y_off])[None, None, :])
@@ -76,7 +82,7 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
     depth, tid = rz.rasterize_binned(tris, bins, W, band_h, cfg.bin_cap)
 
     g = fr.resolve_gbuffer(scene, consts, band_cfg, tris, depth, tid,
-                           pos_w, nrm_w, tan_w, uv)
+                           tri_attr)
     # resolve_gbuffer computed barycentrics at band-local pixel centers,
     # which is exactly right because tris.xy was shifted.
 

@@ -36,6 +36,7 @@ import numpy as np
 from ..config import RenderConfig
 from ..ops import rasterizer as rz
 from ..ops import raster_pallas as rp
+from ..ops import clipping
 from ..ops import sampling, shading, shadows, ssao as ssao_ops
 from ..models import cascades as casc
 
@@ -323,14 +324,27 @@ def _mat_select(table: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
 # Geometry / attribute interpolation (the visibility-buffer resolve)
 # ---------------------------------------------------------------------------
 
+def build_tri_attrs(draw: DeviceDraw, pos_w, nrm_w, tan_w, uv, clip):
+    """Per-triangle vertex records (T, 3, 16): [clip4 | posW3 | nrm3 |
+    tan3 | uv2 | mat1] — the clip-space-linear quantities near-plane
+    clipping interpolates (ops.clipping) and the resolve consumes."""
+    tri_idx = draw.indices.reshape(-1, 3)
+    mat = draw.material_indices[draw.vertex_instance].astype(jnp.float32)
+    vrec = jnp.concatenate(
+        [clip, pos_w, nrm_w, tan_w, uv, mat[:, None]], axis=-1)  # (V, 16)
+    return vrec[tri_idx]  # (T, 3, 16) row gathers
+
+
 def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
                     cfg: RenderConfig, tris: rz.ScreenTris,
                     depth: jnp.ndarray, tid: jnp.ndarray,
-                    pos_w: jnp.ndarray, nrm_w: jnp.ndarray,
-                    tan_w: jnp.ndarray, uv: jnp.ndarray):
+                    tri_attr: jnp.ndarray):
     """Gather the winning triangle's vertex data per pixel and build the
     G-buffer (GeometryPass.hlsl PS + GBuffer.hlsl encode, fused with the
     DrawNormals.hlsl view-space-normal output).
+
+    tri_attr: (T, 3, 16) post-clip per-triangle vertex records (see
+    build_tri_attrs; indices 4:15 are posW/nrm/tan/uv, 15 is material).
 
     Returns dict with posW (H,W,3), normalW bumped (H,W,3), normalV view
     (H,W,3), albedo (H,W,4), roughness, metalness (H,W,1), valid (H,W).
@@ -339,24 +353,17 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
     valid = tid >= 0
     safe_tid = jnp.maximum(tid, 0)
 
-    tri_idx = scene.opaque.indices.reshape(-1, 3)  # (T, 3)
-
-    # Gathers dominate this pass, and TPU pads a gather result's minor two
-    # dims to (8, 128) tiles — an (H, W, 3, 12) vertex gather inflates ~28x
-    # in HBM. So everything a pixel needs is packed into ONE 64-wide
-    # per-TRIANGLE record (screen xy + 1/w + the 3 vertices' world pos /
-    # normal / tangent / uv + material), built with cheap T-sized gathers,
-    # then fetched with a single (H, W) -> 64-wide row gather (2x padding).
-    v0, v1, v2 = tri_idx[:, 0], tri_idx[:, 1], tri_idx[:, 2]
-    mat_of_tri = scene.opaque.material_indices[
-        scene.opaque.vertex_instance[v0]].astype(jnp.float32)
+    # Everything a pixel needs packed into ONE 64-wide per-TRIANGLE record
+    # (screen xy + 1/w + 3 vertices' attrs + material): a single row
+    # gather per pixel (TPU gather latency is per row).
+    a = tri_attr[:, :, 4:]  # (T, 3, 12): posW3 nrm3 tan3 uv2 mat1
     rec = jnp.concatenate([
         tris.xy.reshape(-1, 6), tris.inv_w,             # 0:9
-        pos_w[v0], pos_w[v1], pos_w[v2],                # 9:18
-        nrm_w[v0], nrm_w[v1], nrm_w[v2],                # 18:27
-        tan_w[v0], tan_w[v1], tan_w[v2],                # 27:36
-        uv[v0], uv[v1], uv[v2],                         # 36:42
-        mat_of_tri[:, None],                            # 42
+        a[:, 0, 0:3], a[:, 1, 0:3], a[:, 2, 0:3],       # 9:18 posW
+        a[:, 0, 3:6], a[:, 1, 3:6], a[:, 2, 3:6],       # 18:27 nrm
+        a[:, 0, 6:9], a[:, 1, 6:9], a[:, 2, 6:9],       # 27:36 tan
+        a[:, 0, 9:11], a[:, 1, 9:11], a[:, 2, 9:11],    # 36:42 uv
+        a[:, 0, 11:12],                                 # 42 material
     ], axis=-1)
     rec = jnp.pad(rec, ((0, 0), (0, 64 - rec.shape[1])))
     r = rec[safe_tid]  # (H, W, 64) — the one per-pixel gather
@@ -535,12 +542,15 @@ def render_frame(scene: DeviceScene, consts: FrameConstants,
     """One full frame -> (H, W, 4) float32 linear color (see module doc)."""
     H, W = cfg.height, cfg.width
 
-    # vertex stage + main rasterization (one visibility buffer feeds the
-    # normal/depth, G-buffer and lighting passes)
+    # vertex stage + near-plane clip + main rasterization (one visibility
+    # buffer feeds the normal/depth, G-buffer and lighting passes)
     pos_w, nrm_w, tan_w, uv, clip = vertex_stage(
         scene.opaque, consts.opaque_visibility, consts.view_proj,
         scene.mat_transform)
-    tris = rz.setup_triangles(clip, scene.opaque.indices, W, H)
+    tri_attr = build_tri_attrs(scene.opaque, pos_w, nrm_w, tan_w, uv, clip)
+    tri_attr, tri_valid = clipping.clip_near(
+        tri_attr, jnp.ones(tri_attr.shape[0], bool))
+    tris = rz.setup_tri_verts(tri_attr[..., :4], tri_valid, W, H)
     if cfg.use_pallas:
         depth, tid = rp.rasterize_pallas(tris, W, H, cfg.pair_capacity)
         tris = tris._replace(xy=rp.snap_xy(tris.xy))  # match kernel coords
@@ -548,8 +558,7 @@ def render_frame(scene: DeviceScene, consts: FrameConstants,
         bins = rz.bin_triangles(tris, W, H, cfg.pair_capacity)
         depth, tid = rz.rasterize_binned(tris, bins, W, H, cfg.bin_cap)
 
-    g = resolve_gbuffer(scene, consts, cfg, tris, depth, tid,
-                        pos_w, nrm_w, tan_w, uv)
+    g = resolve_gbuffer(scene, consts, cfg, tris, depth, tid, tri_attr)
 
     if cfg.shadows_enabled:
         shadow_maps = render_shadow_maps(scene, consts, cfg)

@@ -124,3 +124,40 @@ def test_bin_overflow_flag():
     tris = rz.setup_triangles(verts, idx, 1024, 1024)
     bins = rz.bin_triangles(tris, 1024, 1024, pair_capacity=4)
     assert bool(bins.overflowed)
+
+
+def test_near_plane_clipping():
+    """Triangles crossing the near plane are clipped, not dropped."""
+    from crychic_renderer_tpu.ops import clipping
+
+    # a big triangle straddling z=0 in clip space (w = z + 1 style)
+    tri = np.zeros((1, 3, 16), np.float32)
+    tri[0, 0, :4] = [0.0, 0.5, 0.5, 1.0]    # in front
+    tri[0, 1, :4] = [0.5, -0.5, 0.5, 1.0]   # in front
+    tri[0, 2, :4] = [-0.5, -0.5, -0.5, 0.2]  # behind near plane
+    tri[0, :, 4] = [1.0, 2.0, 3.0]  # an attribute to interpolate
+    out, valid = clipping.clip_near(jnp.asarray(tri), jnp.asarray([True]))
+    out, valid = np.asarray(out), np.asarray(valid)
+    assert valid.tolist() == [True, True]  # quad case -> 2 triangles
+    # all output vertices have z >= 0
+    assert (out[valid][..., 2] >= -1e-6).all()
+    # clipped-vertex attribute is a lerp between the crossing endpoints
+    zs = out[valid][..., 2].ravel()
+    attrs = out[valid][..., 4].ravel()
+    assert attrs.min() >= 1.0 - 1e-5 and attrs.max() <= 3.0 + 1e-5
+
+
+def test_clip_all_inside_and_outside():
+    from crychic_renderer_tpu.ops import clipping
+
+    tri_in = np.zeros((1, 3, 16), np.float32)
+    tri_in[0, :, 2] = 0.5  # all z >= 0
+    tri_in[0, :, 3] = 1.0
+    out, valid = clipping.clip_near(jnp.asarray(tri_in), jnp.asarray([True]))
+    assert np.asarray(valid).tolist() == [True, False]
+    np.testing.assert_array_equal(np.asarray(out)[0], tri_in[0])
+
+    tri_out = np.zeros((1, 3, 16), np.float32)
+    tri_out[0, :, 2] = -0.5
+    out, valid = clipping.clip_near(jnp.asarray(tri_out), jnp.asarray([True]))
+    assert np.asarray(valid).tolist() == [False, False]

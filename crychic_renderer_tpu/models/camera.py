@@ -32,6 +32,17 @@ class Camera:
         self.far_window_height = 2.0 * zf * np.tan(0.5 * fov_y)
         self._proj = mu.perspective_fov_lh(fov_y, aspect, zn, zf)
 
+    # -- lens-derived accessors (Camera.cpp:90-114) ---------------------------
+    def fov_x(self) -> float:
+        half_width = 0.5 * self.near_window_width()
+        return 2.0 * float(np.arctan(half_width / self.near_z))
+
+    def near_window_width(self) -> float:
+        return self.aspect * self.near_window_height
+
+    def far_window_width(self) -> float:
+        return self.aspect * self.far_window_height
+
     # -- placement ----------------------------------------------------------
     def set_position(self, x: float, y: float, z: float):
         self.position = np.array([x, y, z], dtype=np.float32)

@@ -208,11 +208,13 @@ def config5_full_scene(anim_frame: int = 0):
         "bricks2", "bricks2_nmap", "tile", "tile_nmap",
         "white1x1", "default_nmap", "sky_cube", "default_nmap",
         "bolt_anim", "fire_anim"])
+    # measured (raster_stats): main 89k pairs incl. clip products,
+    # shadow atlas 344k
     cfg = RenderConfig(width=1920, height=1080, shadow_map_size=2048,
                        deferred=True, shadows_enabled=True,
                        ssao_enabled=True, use_pbr=True, num_dir_lights=3,
                        pair_capacity=1 << 18, bin_cap=2048,
-                       shadow_pair_capacity=1 << 20, shadow_bin_cap=1024)
+                       shadow_pair_capacity=1 << 19, shadow_bin_cap=1024)
     return scene, cfg, build_reference_lights()
 
 

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--stats", action="store_true")
     ap.add_argument("--backend", type=str, default=None,
                     help="force JAX_PLATFORMS (e.g. cpu)")
+    ap.add_argument("--orbit", action="store_true",
+                    help="orbit the camera across frames (demo/stability)")
+    ap.add_argument("--fast", action="store_true",
+                    help="performance preset: half-res shadow factor")
     args = ap.parse_args()
 
     if args.backend:
@@ -40,6 +44,8 @@ def main():
     from .renderer import Renderer, write_png
 
     scene, cfg, lights = CONFIGS[args.config]()
+    if args.fast:
+        cfg = dataclasses.replace(cfg, fast_shadow_factor=True)
     if args.small:
         cfg = dataclasses.replace(
             cfg, width=cfg.width // 4, height=cfg.height // 4,
@@ -60,6 +66,8 @@ def main():
 
     times = []
     for i in range(args.frames):
+        if args.orbit:
+            r.camera.rotate_y(0.05)
         t0 = time.time()
         img = r.render_np(i / 60.0)
         times.append(time.time() - t0)

@@ -38,11 +38,16 @@ class RenderConfig:
     # debug views: None | "shadow_cascade3" (the reference's ShadowDebug.hlsl
     # quad) | "cascades" (the commented-out colorization, Default.hlsl:152)
     debug_view: str = None
+    # performance knobs (defaults keep reference parity):
+    # compute the cascade PCF factor at half resolution + bilinear upsample
+    fast_shadow_factor: bool = False
+    # SSAO resolution divisor (2 = the reference's half-res)
+    ssao_scale: int = 2
 
     @property
     def ssao_width(self):
-        return self.width // 2
+        return self.width // self.ssao_scale
 
     @property
     def ssao_height(self):
-        return self.height // 2
+        return self.height // self.ssao_scale

@@ -426,13 +426,10 @@ def ssao_pass(scene: DeviceScene, consts: FrameConstants, cfg: RenderConfig,
     """Half-res occlusion + N two-pass bilateral blurs -> (h, w) access."""
     # half-res inputs, matching the reference's sampler footprints:
     # normals point-sampled, depth box-filtered (see Ssao.hlsl samplers)
-    n_half = normal_v[1::2, 1::2][: cfg.ssao_height, : cfg.ssao_width]
-    d00 = depth[0::2, 0::2]
-    d10 = depth[1::2, 0::2]
-    d01 = depth[0::2, 1::2]
-    d11 = depth[1::2, 1::2]
-    d_half = 0.25 * (d00 + d10 + d01 + d11)
-    d_half = d_half[: cfg.ssao_height, : cfg.ssao_width]
+    k = cfg.ssao_scale
+    sh_, sw_ = depth.shape[0] // k, depth.shape[1] // k
+    n_half = normal_v[k - 1::k, k - 1::k][:sh_, :sw_]
+    d_half = depth[: sh_ * k, : sw_ * k].reshape(sh_, k, sw_, k).mean((1, 3))
 
     access = ssao_ops.ssao_occlusion(
         n_half, d_half, consts.proj, consts.inv_proj,
@@ -481,9 +478,19 @@ def lighting_pass(scene: DeviceScene, consts: FrameConstants,
                * albedo)
 
     if cfg.shadows_enabled:
-        sf = shadows.cascade_shadow_factor(
-            shadow_maps, consts.shadow_transforms, pos_w, consts.eye_pos,
-            cfg.shadow_map_size, deferred_blend_quirk=cfg.deferred)
+        if cfg.fast_shadow_factor:
+            # performance mode: evaluate the (smooth) PCF factor on a
+            # half-res grid and upsample — the 16-tap filter is already a
+            # blur, so the quality cost is at shadow silhouettes only
+            sf_half = shadows.cascade_shadow_factor(
+                shadow_maps, consts.shadow_transforms,
+                pos_w[::2, ::2], consts.eye_pos,
+                cfg.shadow_map_size, deferred_blend_quirk=cfg.deferred)
+            sf = _upsample_bilinear(sf_half, H, W)
+        else:
+            sf = shadows.cascade_shadow_factor(
+                shadow_maps, consts.shadow_transforms, pos_w, consts.eye_pos,
+                cfg.shadow_map_size, deferred_blend_quirk=cfg.deferred)
         sf = sf[..., None]
     else:
         sf = jnp.ones_like(roughness)

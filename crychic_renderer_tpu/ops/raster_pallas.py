@@ -75,7 +75,12 @@ TILES_PER_PROG = 16  # amortizes per-program overhead + enlarges output DMA
 
 
 def _raster_kernel(start_blocks_ref, counts_ref, records_hbm, depth_ref,
-                   tid_ref, rec_buf, sem, *, tile_h: int):
+                   *rest, tile_h: int, with_ids: bool):
+    if with_ids:
+        tid_ref, rec_buf, sem = rest
+    else:
+        tid_ref = None
+        rec_buf, sem = rest
     """Layouts (Mosaic tiles are (8 sublanes, 128 lanes)):
 
     - records block (16, TRI_BLOCK) transposed once per block to
@@ -164,14 +169,16 @@ def _raster_kernel(start_blocks_ref, counts_ref, records_hbm, depth_ref,
             z = E_all[:, 3 * P:4 * P]
             z = jnp.where(cov & (z >= 0.0) & (z <= 1.0), z, jnp.inf)
             zb = jnp.min(z, axis=0, keepdims=True)  # (1, P)
-            ids_col = jax.lax.dot_general(
-                rec, e_id, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (TB, 1)
-            ids = jnp.where(z == zb, ids_col, jnp.inf)
-            idb = jnp.min(ids, axis=0, keepdims=True)
+            if with_ids:
+                ids_col = jax.lax.dot_general(
+                    rec, e_id, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (TB, 1)
+                ids = jnp.where(z == zb, ids_col, jnp.inf)
+                idb = jnp.min(ids, axis=0, keepdims=True)
             better = zb < zmin
             zmin = jnp.where(better, zb, zmin)
-            idbest = jnp.where(better, idb, idbest)
+            if with_ids:
+                idbest = jnp.where(better, idb, idbest)
             return zmin, idbest
 
         z0 = jnp.full((1, P), 1.0, dtype=jnp.float32)
@@ -179,8 +186,9 @@ def _raster_kernel(start_blocks_ref, counts_ref, records_hbm, depth_ref,
         zmin, idbest = jax.lax.fori_loop(0, nblk, body, (z0, id0))
 
         depth_ref[t, :] = zmin[0]
-        tid_ref[t, :] = jnp.where(idbest < ID_NONE, idbest,
-                                  -1.0)[0].astype(jnp.int32)
+        if with_ids:
+            tid_ref[t, :] = jnp.where(idbest < ID_NONE, idbest,
+                                      -1.0)[0].astype(jnp.int32)
 
 
 def build_padded_records(tris: rz.ScreenTris, bins: rz.Bins, ntx: int,
@@ -237,7 +245,7 @@ def build_padded_records(tris: rz.ScreenTris, bins: rz.Bins, ntx: int,
 
 def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
                      pair_capacity: int, interpret: bool = False,
-                     tile_h: int = TILE_H):
+                     tile_h: int = TILE_H, with_ids: bool = True):
     """Full pipeline: bin (XLA) + raster (Pallas kernel).
 
     Triangle setup must use the same snapped coordinates the records use,
@@ -266,37 +274,39 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
     else:
         counts = bins.counts
 
-    kernel = functools.partial(_raster_kernel, tile_h=tile_h)
+    kernel = functools.partial(_raster_kernel, tile_h=tile_h,
+                               with_ids=with_ids)
     P = tile_h * TILE_W
+    out_spec = pl.BlockSpec((TILES_PER_PROG, P), lambda i, *_: (i, 0))
+    out_shape = [jax.ShapeDtypeStruct((num_progs * TILES_PER_PROG, P),
+                                      jnp.float32)]
+    out_specs = [out_spec]
+    if with_ids:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (num_progs * TILES_PER_PROG, P), jnp.int32))
+        out_specs.append(out_spec)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_progs,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=[
-            pl.BlockSpec((TILES_PER_PROG, P), lambda i, *_: (i, 0)),
-            pl.BlockSpec((TILES_PER_PROG, P), lambda i, *_: (i, 0)),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, REC_ROWS, TRI_BLOCK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    depth_flat, tid_flat = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((num_progs * TILES_PER_PROG, P),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((num_progs * TILES_PER_PROG, P), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(start_blocks, counts, records)
-    depth_flat = depth_flat[:num_tiles]
-    tid_flat = tid_flat[:num_tiles]
+    depth_flat = outs[0][:num_tiles]
+    tid_flat = outs[1][:num_tiles] if with_ids else None
 
     def assemble(flat):
         img = flat.reshape(nty, ntx, tile_h, TILE_W)
         img = img.transpose(0, 2, 1, 3).reshape(nty * tile_h, ntx * TILE_W)
         return img[:height, :width]
 
-    return assemble(depth_flat), assemble(tid_flat)
+    return assemble(depth_flat), (assemble(tid_flat) if with_ids else None)

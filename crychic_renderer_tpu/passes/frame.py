@@ -240,7 +240,8 @@ def render_one_shadow_map(scene: DeviceScene, shadow_visibility, vp,
     tris = rz.setup_triangles(clip, scene.shadow.indices, S, S)
     tris = _shadow_bias(tris)
     if cfg.use_pallas:
-        depth, _ = rp.rasterize_pallas(tris, S, S, cfg.shadow_pair_capacity)
+        depth, _ = rp.rasterize_pallas(tris, S, S, cfg.shadow_pair_capacity,
+                                       with_ids=False)
     else:
         bins = rz.bin_triangles(tris, S, S, cfg.shadow_pair_capacity)
         depth, _ = rz.rasterize_binned(tris, bins, S, S, cfg.shadow_bin_cap,
@@ -287,7 +288,8 @@ def render_shadow_maps_atlas(scene: DeviceScene, consts: FrameConstants,
     # 32-row tiles: shadow-space triangles are large, and 4x fewer tiles
     # means 4x less run padding and launch overhead
     depth, _ = rp.rasterize_pallas(tris, C * S, S,
-                                   cfg.shadow_pair_capacity, tile_h=32)
+                                   cfg.shadow_pair_capacity, tile_h=32,
+                                   with_ids=False)
     return jnp.stack([depth[:, c * S:(c + 1) * S] for c in range(C)])
 
 
@@ -512,15 +514,11 @@ def lighting_pass(scene: DeviceScene, consts: FrameConstants,
     lit = ambient[..., :3] + direct
 
     if cfg.sky_enabled:
+        # sky reflection on geometry (Default.hlsl:176-179) and the sky
+        # pass for empty pixels (sky.hlsl:33-47 — the eye-centered sphere's
+        # PosL is the view ray) are mutually exclusive per pixel, so ONE
+        # cubemap gather serves both (gathers are the cost on TPU).
         r = shading.reflect(-view, normal)
-        refl_col = sampling.sample_cubemap(scene.cubemap, r)
-        fres = shading.schlick_fresnel(fresnel_r0, normal, r)
-        lit = lit + shininess * fres * refl_col[..., :3]
-
-    # sky pass: pixels with no geometry sample the cubemap along the view
-    # ray (sky.hlsl:33-47 — the sky sphere is eye-centered so PosL is the
-    # ray direction up to scale)
-    if cfg.sky_enabled:
         ndc_x = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W * 2.0 - 1.0
         ndc_y = (1.0 - (jnp.arange(H, dtype=jnp.float32) + row_offset + 0.5)
                  / full_height * 2.0)
@@ -533,8 +531,11 @@ def lighting_pass(scene: DeviceScene, consts: FrameConstants,
         far_h = ndc @ inv_vp
         far_w = far_h[..., :3] / far_h[..., 3:4]
         ray = far_w - consts.eye_pos
-        sky_col = sampling.sample_cubemap(scene.cubemap, ray)[..., :3]
-        lit = jnp.where(g["valid"][..., None], lit, sky_col)
+        valid3 = g["valid"][..., None]
+        cube_dir = jnp.where(valid3, r, ray)
+        cube_col = sampling.sample_cubemap(scene.cubemap, cube_dir)[..., :3]
+        fres = shading.schlick_fresnel(fresnel_r0, normal, r)
+        lit = jnp.where(valid3, lit + shininess * fres * cube_col, cube_col)
 
     alpha_out = jnp.where(g["valid"][..., None], albedo[..., 3:4], 1.0)
     return jnp.concatenate([lit, alpha_out], axis=-1)

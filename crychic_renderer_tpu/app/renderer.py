@@ -99,9 +99,10 @@ def load_texture_pool(names, asset_dir=DEFAULT_ASSET_DIR):
         if len(mips) == 1 and mips[0].shape[0] > 1:
             mips = dds.generate_mips(mips[0])
         textures.append(mips)
+    n_big = len(textures)  # fixed material slots: big class
     for _, frames in anim_tail:
-        textures.extend(frames)
-    return sampling.TexturePool.build(textures), anim_specs
+        textures.extend(frames)  # animation frames: small class
+    return sampling.TexturePool.build(textures, n_big=n_big), anim_specs
 
 
 def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
@@ -134,6 +135,7 @@ def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
         ssao_random_tex=jnp.asarray(ssao_ops.pack_random_texture(
             ssao_ops.build_random_vector_texture())),
         ssao_blur_weights=jnp.asarray(ssao_ops.calc_gauss_weights(2.5)),
+        tex_n_big=pool.n_big,
     ), anim_specs
 
 

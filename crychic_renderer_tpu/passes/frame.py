@@ -96,7 +96,7 @@ class DeviceScene:
     mat_transform: jnp.ndarray  # (M, 4, 4)
     mat_diffuse_tex: jnp.ndarray  # (M,) int32
     mat_normal_tex: jnp.ndarray  # (M,) int32
-    # textures (uniform-size analytic pool; see ops.sampling.TexturePool)
+    # textures (two-class analytic pool; see ops.sampling.TexturePool)
     tex_data: jnp.ndarray
     cubemap: jnp.ndarray  # (6, S, S, 4) uint32 quad-packed
     # lights
@@ -111,18 +111,20 @@ class DeviceScene:
     ssao_offsets: jnp.ndarray  # (14, 3)
     ssao_random_tex: jnp.ndarray  # (256, 256, 3)
     ssao_blur_weights: jnp.ndarray  # (11,)
+    tex_n_big: int = 0  # static: count of big-class textures in the pool
 
     def tree_flatten(self):
-        return tuple(getattr(self, f.name)
-                     for f in dataclasses.fields(self)), None
+        children = tuple(getattr(self, f.name)
+                         for f in dataclasses.fields(self))[:-1]
+        return children, self.tex_n_big
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, tex_n_big=aux)
 
     @property
     def texture_pool(self):
-        return sampling.TexturePool(self.tex_data, 0)
+        return sampling.TexturePool(self.tex_data, self.tex_n_big)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -38,6 +38,41 @@ def compare(a: np.ndarray, b: np.ndarray) -> dict:
     }
 
 
+def parity(configs, small: bool) -> dict:
+    """Pallas-kernel vs pure-XLA rasterization parity on the CURRENT
+    backend (run on the TPU: `python -m crychic_renderer_tpu.app.compare
+    --parity`). Both paths snap vertices identically, so coverage should
+    agree except where fp edge rounding differs; the check bounds visible
+    disagreement per config."""
+    from ..models.scenes_baseline import CONFIGS
+    from .renderer import Renderer
+
+    report = {}
+    ok = True
+    for c in configs:
+        scene, cfg, lights = CONFIGS[c]()
+        if small:
+            cfg = dataclasses.replace(
+                cfg, width=cfg.width // 4, height=cfg.height // 4,
+                shadow_map_size=max(cfg.shadow_map_size // 4, 128))
+        imgs = {}
+        for pallas in (True, False):
+            cfgp = dataclasses.replace(cfg, use_pallas=pallas)
+            r = Renderer(scene, cfgp, lights=lights)
+            if r.cfg.use_pallas != pallas and pallas:
+                report[c] = {"skipped": "no TPU backend for the kernel"}
+                break
+            imgs[pallas] = r.render_np(0.0)
+        else:
+            d = compare(imgs[True], imgs[False])
+            d["ok"] = d["frac_gt_2pct"] < 0.005
+            ok = ok and d["ok"]
+            report[c] = d
+        print(f"config {c}: {report[c]}", flush=True)
+    report["ok"] = ok
+    return report
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4, 5])
@@ -45,7 +80,14 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--check", type=str, default=None,
                     help="dir of stored goldens (.npy) to diff against")
+    ap.add_argument("--parity", action="store_true",
+                    help="compare Pallas-kernel vs pure-XLA frames")
     args = ap.parse_args()
+
+    if args.parity:
+        report = parity(args.configs, args.small)
+        print(json.dumps(report))
+        raise SystemExit(0 if report["ok"] else 1)
 
     from ..models.scenes_baseline import CONFIGS
     from .renderer import Renderer, write_png

@@ -82,8 +82,7 @@ def profile_frame(renderer, total_time: float = 0.0, reps: int = 5) -> dict:
             num_tiles = ntx * (-(-H // rp.TILE_H))
             bins = rz.bin_triangles(tr, W, H, cfg.pair_capacity,
                                     tile_h=rp.TILE_H, tile_w=rp.TILE_W)
-            return rp.build_padded_records(tr, bins, ntx, num_tiles,
-                                           cfg.pair_capacity)
+            return rp.build_records(tr, bins, ntx, num_tiles)
 
         report["bin_main"] = _time(jax.jit(bin_fn), tris, reps=reps)
         raster = jax.jit(lambda tr: rp.rasterize_pallas(

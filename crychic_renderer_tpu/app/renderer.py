@@ -56,26 +56,23 @@ _ANIM_SLOTS = {
 }
 
 
-def load_texture_pool(names, asset_dir=DEFAULT_ASSET_DIR):
-    """Load the named texture slots into a TexturePool (mips generated for
+def load_texture_chains(names, asset_dir=DEFAULT_ASSET_DIR):
+    """Load the named texture slots as mip chains (mips generated for
     mipless textures, like D3D12 would sample the base level repeatedly —
     we improve on that with generated mips).
 
-    Returns (pool, anim_specs) where anim_specs maps slot index ->
-    (first_frame_texture_index, frame_count, fps) for animated slots
-    (BoltAnim/FireAnim BMP sequences). Animation works by cycling the
-    material's diffuse texture index per frame on the host — the frames
-    all live in the pool.
+    Returns (chains, anim_frames): chains[slot] = [(H, W, 4) u8 mips];
+    anim_frames[slot] = ([per-frame chains], fps) for animated slots
+    (BoltAnim/FireAnim BMP sequences).
     """
     from ..io import dds
 
-    textures = []
-    anim_specs = {}
-    anim_tail = []  # (slot, frames) appended after the fixed slots
+    white = [np.full((1, 1, 4), 255, np.uint8)]
+    chains = []
+    anim_frames = {}
     for slot, name in enumerate(names):
         if name == "sky_cube":
-            # cube slots don't live in the 2D pool; placeholder 1x1
-            textures.append([np.full((1, 1, 4), 255, np.uint8)])
+            chains.append(white)  # cube slots don't live in the 2D pool
             continue
         if name in _ANIM_SLOTS:
             subdir, step, fps = _ANIM_SLOTS[name]
@@ -84,32 +81,68 @@ def load_texture_pool(names, asset_dir=DEFAULT_ASSET_DIR):
             frames = [dds.generate_mips(dds.load_bmp(os.path.join(d, f)))
                       for f in files]
             if not frames:
-                frames = [[np.full((1, 1, 4), 255, np.uint8)]]
-            textures.append(frames[0])  # slot shows frame 0
-            anim_specs[slot] = (len(names) + sum(len(f) for _, f in anim_tail),
-                                len(frames), fps)
-            anim_tail.append((slot, frames))
+                frames = [white]
+            chains.append(frames[0])  # slot shows frame 0
+            anim_frames[slot] = (frames, fps)
             continue
         fn = _TEXTURE_FILES.get(name)
         if fn is None or not os.path.exists(os.path.join(asset_dir, fn)):
-            textures.append([np.full((1, 1, 4), 255, np.uint8)])
+            chains.append(white)
             continue
         tex = dds.load_dds(os.path.join(asset_dir, fn))
         mips = tex.mips
         if len(mips) == 1 and mips[0].shape[0] > 1:
             mips = dds.generate_mips(mips[0])
-        textures.append(mips)
-    n_big = len(textures)  # fixed material slots: big class
-    for _, frames in anim_tail:
-        textures.extend(frames)  # animation frames: small class
-    return sampling.TexturePool.build(textures, n_big=n_big), anim_specs
+        chains.append(mips)
+    return chains, anim_frames
+
+
+def build_pair_pool(scene: Scene, asset_dir=DEFAULT_ASSET_DIR):
+    """Build the (diffuse, normal) pair pool for a scene's materials (see
+    ops.sampling.PairPool). Static material pairs are deduplicated into
+    the big class; animated materials get one small-class pair per
+    animation frame (paired with the material's own normal map).
+
+    Returns (pool, mat_pair (M,) int32, anim_specs) where anim_specs maps
+    material index -> (first_pair_index, frame_count, fps)."""
+    chains, anim_frames = load_texture_chains(scene.texture_names, asset_dir)
+    mb = scene.material_bank
+    dmap = np.asarray(mb.diffuse_map_index)
+    nmap = np.asarray(mb.normal_map_index)
+    M = len(dmap)
+
+    big_pairs = []  # (diffuse chain, normal chain)
+    key_to_idx = {}
+    small_pairs = []
+    mat_pair = np.zeros(M, np.int32)
+    anim_local = {}  # mat -> (local first index in small_pairs, count, fps)
+    for m in range(M):
+        d, n = int(dmap[m]), int(nmap[m])
+        if d in anim_frames:
+            frames, fps = anim_frames[d]
+            anim_local[m] = (len(small_pairs), len(frames), fps)
+            for fc in frames:
+                small_pairs.append((fc, chains[n]))
+        else:
+            key = (d, n)
+            if key not in key_to_idx:
+                key_to_idx[key] = len(big_pairs)
+                big_pairs.append((chains[d], chains[n]))
+            mat_pair[m] = key_to_idx[key]
+    n_big = len(big_pairs)
+    for m, (first, count, fps) in anim_local.items():
+        mat_pair[m] = n_big + first
+    anim_specs = {m: (n_big + first, count, fps)
+                  for m, (first, count, fps) in anim_local.items()}
+    pool = sampling.PairPool.build(big_pairs + small_pairs, n_big)
+    return pool, mat_pair, anim_specs
 
 
 def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
                        lights=None) -> fr.DeviceScene:
     if lights is None:
         lights = build_reference_lights()
-    pool, anim_specs = load_texture_pool(scene.texture_names, asset_dir)
+    pool, mat_pair, anim_specs = build_pair_pool(scene, asset_dir)
     mb = scene.material_bank
     cubemap = sampling.pack_cubemap(sampling.procedural_sky_cubemap(256))
     return fr.DeviceScene(
@@ -120,9 +153,8 @@ def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
         mat_roughness=jnp.asarray(mb.roughness),
         mat_metalness=jnp.asarray(mb.metalness),
         mat_transform=jnp.asarray(mb.mat_transform),
-        mat_diffuse_tex=jnp.asarray(mb.diffuse_map_index),
-        mat_normal_tex=jnp.asarray(mb.normal_map_index),
-        tex_data=pool.data,
+        mat_pair=jnp.asarray(mat_pair),
+        pair_data=pool.data,
         cubemap=jnp.asarray(cubemap),
         light_strength=jnp.asarray(lights.strength),
         light_direction=jnp.asarray(lights.direction),
@@ -135,7 +167,7 @@ def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
         ssao_random_tex=jnp.asarray(ssao_ops.pack_random_texture(
             ssao_ops.build_random_vector_texture())),
         ssao_blur_weights=jnp.asarray(ssao_ops.calc_gauss_weights(2.5)),
-        tex_n_big=pool.n_big,
+        n_big_pairs=pool.n_big,
     ), anim_specs
 
 
@@ -144,7 +176,7 @@ class Renderer:
 
     def __init__(self, scene: Scene, cfg: RenderConfig,
                  camera: Camera = None, asset_dir=DEFAULT_ASSET_DIR,
-                 lights=None):
+                 lights=None, auto_capacity: bool = True):
         self.scene = scene
         if cfg.use_pallas and jax.default_backend() == "cpu":
             # the Mosaic kernel targets TPU; CPU falls back to the XLA path
@@ -157,11 +189,63 @@ class Renderer:
                            else build_reference_lights().direction[0])
         self.device_scene, self.anim_specs = build_device_scene(
             scene, asset_dir, lights)
-        self._base_diffuse_tex = np.asarray(
-            scene.material_bank.diffuse_map_index)
+        self._base_mat_pair = np.asarray(self.device_scene.mat_pair)
+        if auto_capacity:
+            self._autosize_capacity()
         self._frame_fn = jax.jit(
-            functools.partial(fr.render_frame, cfg=cfg))
+            functools.partial(fr.render_frame, cfg=self.cfg))
         self._stats = []
+
+    def capacity_requirements(self, total_time: float = 0.0) -> dict:
+        """Exact (tile, triangle) pair counts for the current camera —
+        what pair_capacity / shadow_pair_capacity must exceed, else the
+        rasterizer silently drops geometry."""
+        consts = self.frame_constants(total_time)
+        req = jax.jit(functools.partial(
+            fr.capacity_requirements, cfg=self.cfg))(
+                self.device_scene, consts)
+        return {k: int(v) for k, v in req.items()}
+
+    def _autosize_capacity(self):
+        """Size the static rasterizer capacities from the scene (VERDICT r1
+        item 6): 2x headroom over the initial camera's exact pair counts —
+        over-capacity frames become impossible at construction instead of
+        silently dropping triangles, and oversized configs stop paying for
+        sort/record work they never use."""
+        import dataclasses as _dc
+
+        req = self.capacity_requirements(0.0)
+
+        def size(needed):
+            return max(1 << 14, 1 << int(np.ceil(np.log2(
+                max(2 * needed, 1)))))
+
+        kw = dict(pair_capacity=size(req["main_pairs"]),
+                  shadow_pair_capacity=size(req["shadow_pairs"]))
+        if not self.cfg.use_pallas:
+            # the XLA path truncates per-tile runs at bin_cap
+            kw["bin_cap"] = max(
+                64, -(-(req["main_max_tile"] * 2) // 32) * 32)
+        self.cfg = _dc.replace(self.cfg, **kw)
+
+    def check_capacity(self, total_time: float = 0.0):
+        """Raise if the current camera's frame would overflow the sized
+        capacities (callable per frame from the app loop)."""
+        req = self.capacity_requirements(total_time)
+        if req["main_pairs"] > self.cfg.pair_capacity:
+            raise RuntimeError(
+                f"main raster overflow: {req['main_pairs']} pairs > "
+                f"pair_capacity {self.cfg.pair_capacity}")
+        if req["shadow_pairs"] > self.cfg.shadow_pair_capacity:
+            raise RuntimeError(
+                f"shadow raster overflow: {req['shadow_pairs']} pairs > "
+                f"shadow_pair_capacity {self.cfg.shadow_pair_capacity}")
+        if not self.cfg.use_pallas and \
+                req["main_max_tile"] > self.cfg.bin_cap:
+            raise RuntimeError(
+                f"tile overflow: {req['main_max_tile']} triangles in one "
+                f"tile > bin_cap {self.cfg.bin_cap}")
+        return req
 
     def _default_camera(self):
         cam = Camera()
@@ -212,15 +296,15 @@ class Renderer:
     # -- frame -------------------------------------------------------------
     def _animate_materials(self, total_time: float):
         """Cycle animated texture slots (BoltAnim/FireAnim frame sequences)
-        by rewriting material->texture indices; cheap host-side update, no
+        by rewriting material->pair indices; cheap host-side update, no
         recompile (shapes unchanged)."""
         if not self.anim_specs:
             return
-        tex = self._base_diffuse_tex.copy()
-        for slot, (base, count, fps) in self.anim_specs.items():
+        pair = self._base_mat_pair.copy()
+        for mat, (base, count, fps) in self.anim_specs.items():
             frame = int(total_time * fps) % count
-            tex[self._base_diffuse_tex == slot] = base + frame
-        self.device_scene.mat_diffuse_tex = jnp.asarray(tex)
+            pair[mat] = base + frame
+        self.device_scene.mat_pair = jnp.asarray(pair)
 
     def render(self, total_time: float = 0.0) -> jnp.ndarray:
         self._animate_materials(total_time)

@@ -77,8 +77,13 @@ def main():
     write_png(args.out, img)
     print(f"wrote {args.out}")
     if args.stats:
+        req = r.check_capacity(0.0)  # raises on overflow
         print(json.dumps({"ms_per_frame": ms, "fps": 1000.0 / ms,
-                          "config": args.config}))
+                          "config": args.config,
+                          "capacity": {k: int(v) for k, v in req.items()},
+                          "pair_capacity": r.cfg.pair_capacity,
+                          "shadow_pair_capacity":
+                              r.cfg.shadow_pair_capacity}))
 
 
 if __name__ == "__main__":

@@ -34,7 +34,17 @@ class RenderConfig:
     num_point_lights: int = 0
     num_spot_lights: int = 0
     use_pbr: bool = True  # PBRShading vs ComputeLighting (Default.hlsl:163-165)
+    # max anisotropy for material texture sampling; the reference's static
+    # samplers use D3D12_FILTER_ANISOTROPIC with MaxAnisotropy=8
+    # (CRYCHIC.cpp:2631-2645). 1 = trilinear.
+    anisotropy: int = 8
+    # static probe count for the aniso sampler (gathers per pixel); probes
+    # alternate mip levels, so 4 probes = the cost of plain trilinear of
+    # two textures while covering an 8:1 footprint (see sample_pair_aniso)
+    aniso_probes: int = 4
     use_pallas: bool = True  # Pallas raster kernel (TPU) vs pure-XLA path
+    # run Pallas kernels in interpreter mode (CPU tests of the kernel path)
+    pallas_interpret: bool = False
     # debug views: None | "shadow_cascade3" (the reference's ShadowDebug.hlsl
     # quad) | "cascades" (the commented-out colorization, Default.hlsl:152)
     debug_view: str = None

@@ -52,9 +52,15 @@ def snap_xy(xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(xy * SUBPIXEL) / SUBPIXEL
 
 
-def tri_records(tris: rz.ScreenTris) -> jnp.ndarray:
+def tri_records(tris: rz.ScreenTris, xrange=None) -> jnp.ndarray:
     """Per-TRIANGLE records (T, 16) f32 with global-origin planes and the
-    top-left bias folded into C (dense math, no gathers)."""
+    top-left bias folded into C (dense math, no gathers).
+
+    xrange: optional (xlo (T,), xhi (T,)) viewport columns — coverage is
+    masked to pixel centers with xlo <= x < xhi. Used by the shadow ATLAS,
+    where each cascade owns a column and triangles extending past their
+    cascade's viewport must not bleed into the neighbor (the per-cascade
+    path gets this for free from its own viewport bounds)."""
     xy = snap_xy(tris.xy)
     A, B, C, area2, top_left = rz._edge_coeffs(xy)
     inv_a2 = 1.0 / jnp.where(area2 == 0, 1.0, area2)
@@ -64,18 +70,24 @@ def tri_records(tris: rz.ScreenTris) -> jnp.ndarray:
     Cb = C - jnp.where(top_left, 0.0, EDGE_EPS)
     ids = jnp.arange(A.shape[0], dtype=jnp.float32)
     pad = jnp.zeros_like(ids)
+    if xrange is None:
+        xlo = jnp.full_like(ids, -3e7)
+        xhi = jnp.full_like(ids, 3e7)
+    else:
+        xlo, xhi = xrange
     return jnp.stack(
         [A[:, 0], A[:, 1], A[:, 2],
          B[:, 0], B[:, 1], B[:, 2],
          Cb[:, 0], Cb[:, 1], Cb[:, 2],
-         zA, zB, zC, ids, pad, pad, pad], axis=-1)  # (T, 16)
+         zA, zB, zC, ids, xlo, xhi, pad], axis=-1)  # (T, 16)
 
 
 TILES_PER_PROG = 16  # amortizes per-program overhead + enlarges output DMA
 
 
-def _raster_kernel(start_blocks_ref, counts_ref, records_hbm, depth_ref,
-                   *rest, tile_h: int, with_ids: bool):
+def _raster_kernel(starts_ref, counts_ref, records_hbm, depth_ref,
+                   *rest, tile_h: int, with_ids: bool,
+                   with_xrange: bool = False):
     if with_ids:
         tid_ref, rec_buf, sem = rest
     else:
@@ -121,20 +133,25 @@ def _raster_kernel(start_blocks_ref, counts_ref, records_hbm, depth_ref,
                 segs.append(zero)
         rows.append(jnp.concatenate(segs, axis=1))
     Q = jnp.concatenate(rows, axis=0)  # (16, 4P)
-    e_id = (jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0) == 12).astype(
-        jnp.float32)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    e_id = (row_iota == 12).astype(jnp.float32)
+    e_xlo = (row_iota == 13).astype(jnp.float32)
+    e_xhi = (row_iota == 14).astype(jnp.float32)
 
     for t in range(TILES_PER_PROG):
         tile = i * TILES_PER_PROG + t
-        start_blk = start_blocks_ref[tile]
+        start = starts_ref[tile]  # absolute pair index (UNPADDED runs)
         count = counts_ref[tile]
-        nblk = pl.cdiv(count, TRI_BLOCK)
+        first_blk = start // TRI_BLOCK
+        off = start - first_blk * TRI_BLOCK
+        nblk = jax.lax.select(count > 0,
+                              pl.cdiv(off + count, TRI_BLOCK), 0)
 
-        def dma(slot, b, start_blk=start_blk):
-            # runs are padded to whole TRI_BLOCK blocks (see pad_runs): a
-            # block index addresses an aligned (16, TRI_BLOCK) slab
+        def dma(slot, b, first_blk=first_blk):
+            # fetch the 128-aligned block window covering the run; rows
+            # outside [off, off+count) are masked in the body
             return pltpu.make_async_copy(
-                records_hbm.at[:, start_blk + b, :],
+                records_hbm.at[:, first_blk + b, :],
                 rec_buf.at[slot],
                 sem.at[slot],
             )
@@ -143,7 +160,7 @@ def _raster_kernel(start_blocks_ref, counts_ref, records_hbm, depth_ref,
         def _():
             dma(0, 0).start()
 
-        def body(b, carry, count=count, nblk=nblk, dma=dma):
+        def body(b, carry, count=count, off=off, nblk=nblk, dma=dma):
             zmin, idbest = carry  # (1, P) each
             slot = jax.lax.rem(b, 2)
 
@@ -154,8 +171,9 @@ def _raster_kernel(start_blocks_ref, counts_ref, records_hbm, depth_ref,
             dma(slot, b).wait()
             rec = rec_buf[slot]  # (16, TRI_BLOCK)
 
-            # tail masking: rows past the run's true count are padding
-            valid = sub < (count - b * TRI_BLOCK)  # (TB, 1)
+            # window masking: rows outside this tile's run are neighbors'
+            g = b * TRI_BLOCK + sub
+            valid = (g >= off) & (g < off + count)  # (TB, 1)
 
             # all 3 edge functions + the depth plane in one f32 matmul
             E_all = jax.lax.dot_general(
@@ -166,6 +184,15 @@ def _raster_kernel(start_blocks_ref, counts_ref, records_hbm, depth_ref,
             E1 = E_all[:, 1 * P:2 * P]
             E2 = E_all[:, 2 * P:3 * P]
             cov = (jnp.minimum(jnp.minimum(E0, E1), E2) >= 0.0) & valid
+            if with_xrange:
+                # atlas column guard: pixel center x within [xlo, xhi)
+                xlo = jax.lax.dot_general(
+                    rec, e_xlo, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (TB, 1)
+                xhi = jax.lax.dot_general(
+                    rec, e_xhi, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                cov = cov & (px >= xlo) & (px < xhi)
             z = E_all[:, 3 * P:4 * P]
             z = jnp.where(cov & (z >= 0.0) & (z <= 1.0), z, jnp.inf)
             zb = jnp.min(z, axis=0, keepdims=True)  # (1, P)
@@ -191,61 +218,46 @@ def _raster_kernel(start_blocks_ref, counts_ref, records_hbm, depth_ref,
                                       -1.0)[0].astype(jnp.int32)
 
 
-def build_padded_records(tris: rz.ScreenTris, bins: rz.Bins, ntx: int,
-                         num_tiles: int, pair_capacity: int,
-                         tile_h: int = TILE_H):
-    """Padded, tile-anchored pair records for the kernel.
+def build_records(tris: rz.ScreenTris, bins: rz.Bins, ntx: int,
+                  num_tiles: int, tile_h: int = TILE_H, xrange=None):
+    """Tile-anchored pair records for the kernel, UNPADDED.
 
-    Repacks the sorted pair runs so every tile's run starts at a TRI_BLOCK
-    boundary (DMA slabs must be tile-aligned), re-anchors each record's C
-    and zC at its tile's pixel origin (fp precision: |E| stays small inside
-    the tile), and lays the result out as (16, NB, TRI_BLOCK). Gather-only
-    (one int gather + one 64-byte row gather); scatters are slow on TPU.
+    Tile runs are used exactly where the binning sort left them: the
+    kernel DMAs the 128-aligned block window covering [start, start+count)
+    and masks rows outside the run (neighbor tiles' records ride along in
+    the boundary blocks, harmlessly masked). This removes the per-tile
+    block padding of round 1, which doubled the record array (num_tiles x
+    TRI_BLOCK pad slots) and with it the gather/cumsum cost of the build.
 
-    Returns (start_blocks (num_tiles,) int32, records3).
+    Re-anchors each record's C and zC at its tile's pixel origin (fp
+    precision: |E| stays small inside the tile) and lays the result out as
+    (16, NB, TRI_BLOCK) so a block slice is one native (16, 128) f32 tile.
     """
-    trecs = tri_records(tris)  # (T, 16)
-
-    aligned = -(-bins.counts // TRI_BLOCK) * TRI_BLOCK  # per-tile padded len
-    padded_starts = jnp.cumsum(aligned) - aligned
-    total_pad = padded_starts[-1] + aligned[-1]
-    p_pad = pair_capacity + num_tiles * TRI_BLOCK  # static upper bound
-    p_pad = -(-p_pad // TRI_BLOCK) * TRI_BLOCK
-
-    # tile of each padded slot: searchsorted(padded_starts, q, 'right')-1
-    # via scatter-add + cumsum
-    q = jnp.arange(p_pad, dtype=jnp.int32)
-    marks = jnp.zeros(p_pad, jnp.int32).at[padded_starts].add(1, mode="drop")
-    tile_of_q = jnp.clip(jnp.cumsum(marks) - 1, 0, num_tiles - 1)
-    tile_tab = jnp.stack([padded_starts.astype(jnp.int32), bins.starts],
-                         axis=-1)  # (num_tiles, 2) — one row gather
-    tt = tile_tab[tile_of_q]
-    offset_in_run = q - tt[:, 0]
-    src = jnp.clip(tt[:, 1] + offset_in_run, 0, bins.order.shape[0] - 1)
-    tri_of_q = bins.order[src]  # (P_PAD,) int gather
-
-    # ONE row-gather: gather latency is per ROW (~17ns measured), so a
-    # single 16-wide row fetch beats 13 scalar gathers 13x even though the
-    # (P_PAD, 16) result is lane-padded 8x (bandwidth is cheap, latency
-    # is not).
-    rec = trecs[tri_of_q]  # (P_PAD, 16)
+    trecs = tri_records(tris, xrange)  # (T, 16)
+    # ONE row-gather per pair: gather cost is per ROW, so a single 16-wide
+    # row fetch beats 13 scalar gathers 13x.
+    rec = trecs[bins.order]  # (P, 16)
+    tile_of = jnp.minimum(bins.sorted_tile, num_tiles - 1)
 
     # re-anchor edge/depth planes at the tile origin (dense)
-    x0 = ((tile_of_q % ntx) * TILE_W).astype(jnp.float32)[:, None]
-    y0 = ((tile_of_q // ntx) * tile_h).astype(jnp.float32)[:, None]
+    x0 = ((tile_of % ntx) * TILE_W).astype(jnp.float32)[:, None]
+    y0 = ((tile_of // ntx) * tile_h).astype(jnp.float32)[:, None]
     A, B = rec[:, 0:3], rec[:, 3:6]
     C = rec[:, 6:9] + A * x0 + B * y0
     zC = rec[:, 11:12] + rec[:, 9:10] * x0 + rec[:, 10:11] * y0
-    rec = jnp.concatenate([A, B, C, rec[:, 9:11], zC, rec[:, 12:13],
-                           jnp.zeros_like(rec[:, :3])], axis=-1)
+    xr = rec[:, 13:15] - x0  # xlo/xhi re-anchored at the tile origin
+    rec = jnp.concatenate([A, B, C, rec[:, 9:11], zC, rec[:, 12:13], xr,
+                           jnp.zeros_like(rec[:, :1])], axis=-1)
 
-    records3 = rec.T.reshape(16, p_pad // TRI_BLOCK, TRI_BLOCK)
-    return (padded_starts // TRI_BLOCK).astype(jnp.int32), records3
+    P = rec.shape[0]
+    assert P % TRI_BLOCK == 0, "pair_capacity must be a TRI_BLOCK multiple"
+    return rec.T.reshape(16, P // TRI_BLOCK, TRI_BLOCK)
 
 
 def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
                      pair_capacity: int, interpret: bool = False,
-                     tile_h: int = TILE_H, with_ids: bool = True):
+                     tile_h: int = TILE_H, with_ids: bool = True,
+                     with_stats: bool = False, xrange=None):
     """Full pipeline: bin (XLA) + raster (Pallas kernel).
 
     Triangle setup must use the same snapped coordinates the records use,
@@ -253,7 +265,9 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
     snapping happens inside build_records (binning bboxes stay
     conservative either way).
 
-    Returns (depth (H, W) f32, tid (H, W) i32).
+    Returns (depth (H, W) f32, tid (H, W) i32[, stats]); stats (when
+    with_stats) is a dict of scalars: pairs_valid, pairs_overflowed (pairs
+    beyond pair_capacity were silently dropped), max_tile_count.
     """
     ntx = -(-width // TILE_W)
     nty = -(-height // tile_h)
@@ -261,21 +275,22 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
 
     bins = rz.bin_triangles(tris, width, height, pair_capacity,
                             tile_h=tile_h, tile_w=TILE_W)
-    start_blocks, records = build_padded_records(tris, bins, ntx, num_tiles,
-                                                 pair_capacity, tile_h)
+    records = build_records(tris, bins, ntx, num_tiles, tile_h, xrange)
 
     # pad the tile tables to a multiple of TILES_PER_PROG (extra tiles have
     # count 0 and cost one scalar read each)
     num_progs = -(-num_tiles // TILES_PER_PROG)
     pad_tiles = num_progs * TILES_PER_PROG - num_tiles
     if pad_tiles:
-        start_blocks = jnp.pad(start_blocks, (0, pad_tiles))
+        starts = jnp.pad(bins.starts, (0, pad_tiles))
         counts = jnp.pad(bins.counts, (0, pad_tiles))
     else:
+        starts = bins.starts
         counts = bins.counts
 
     kernel = functools.partial(_raster_kernel, tile_h=tile_h,
-                               with_ids=with_ids)
+                               with_ids=with_ids,
+                               with_xrange=xrange is not None)
     P = tile_h * TILE_W
     out_spec = pl.BlockSpec((TILES_PER_PROG, P), lambda i, *_: (i, 0))
     out_shape = [jax.ShapeDtypeStruct((num_progs * TILES_PER_PROG, P),
@@ -300,7 +315,7 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(start_blocks, counts, records)
+    )(starts, counts, records)
     depth_flat = outs[0][:num_tiles]
     tid_flat = outs[1][:num_tiles] if with_ids else None
 
@@ -309,4 +324,10 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
         img = img.transpose(0, 2, 1, 3).reshape(nty * tile_h, ntx * TILE_W)
         return img[:height, :width]
 
-    return assemble(depth_flat), (assemble(tid_flat) if with_ids else None)
+    out = (assemble(depth_flat), (assemble(tid_flat) if with_ids else None))
+    if with_stats:
+        stats = dict(pairs_valid=bins.num_valid,
+                     pairs_overflowed=bins.overflowed,
+                     max_tile_count=bins.counts.max())
+        return out + (stats,)
+    return out

@@ -126,7 +126,15 @@ def _tile_bbox(tris: ScreenTris, width: int, height: int,
     ty0 = jnp.clip(jnp.floor(ymin / tile_h).astype(jnp.int32), 0, nty - 1)
     ty1 = jnp.clip(jnp.floor((ymax - 1e-6) / tile_h).astype(jnp.int32), 0, nty - 1)
     offscreen = (xmax < 0) | (xmin >= width) | (ymax < 0) | (ymin >= height)
-    keep = tris.valid & ~offscreen
+    # subpixel cull: a triangle whose bbox straddles no pixel CENTER can
+    # produce no coverage. Far shadow cascades shrink whole meshes to a few
+    # texels — without this, tens of thousands of zero-coverage triangles
+    # pile into single tiles (measured 27k in one atlas tile). The 1/256
+    # margin keeps the test conservative under the kernel's subpixel snap.
+    eps = 1.0 / 256.0
+    no_center = (jnp.floor(xmax - 0.5 + eps) < jnp.ceil(xmin - 0.5 - eps)) \
+        | (jnp.floor(ymax - 0.5 + eps) < jnp.ceil(ymin - 0.5 - eps))
+    keep = tris.valid & ~offscreen & ~no_center
     bw = jnp.where(keep, tx1 - tx0 + 1, 0)
     bh = jnp.where(keep, ty1 - ty0 + 1, 0)
     return tx0, ty0, bw, bh, ntx, nty

@@ -92,6 +92,29 @@ def _sample_depth_border_white(depth_map, u, v):
     return jnp.where(inb, d, 1.0)
 
 
+def _quad_rows(depth_map):
+    """(H, W) -> ((H*W, 4), W): each texel's 2x2 neighborhood as one row.
+    Scalar (4-byte) gather rows cost ~2.3x more than 16-byte rows on TPU,
+    so the 14 occluder taps fetch quad rows and use lane 0."""
+    f = depth_map
+    fx = jnp.roll(f, -1, axis=1)
+    fy = jnp.roll(f, -1, axis=0)
+    fxy = jnp.roll(fx, -1, axis=0)
+    rows = jnp.stack([f.reshape(-1), fx.reshape(-1), fy.reshape(-1),
+                      fxy.reshape(-1)], axis=-1)
+    return rows, depth_map.shape[1]
+
+
+def _tap_depth_border_white(rows, H, W, u, v):
+    """Point depth fetch from quad rows with opaque-white border."""
+    x = jnp.floor(u * W).astype(jnp.int32)
+    y = jnp.floor(v * H).astype(jnp.int32)
+    inb = (x >= 0) & (x < W) & (y >= 0) & (y < H)
+    idx = jnp.clip(y, 0, H - 1) * W + jnp.clip(x, 0, W - 1)
+    d = rows[idx][..., 0]
+    return jnp.where(inb, d, 1.0)
+
+
 def pack_random_texture(tex: np.ndarray) -> np.ndarray:
     """(256, 256, 3) float [0,1] -> (256, 256) uint32 RGBA8."""
     u = np.clip(np.asarray(tex) * 255.0 + 0.5, 0, 255).astype(np.uint32)
@@ -100,19 +123,31 @@ def pack_random_texture(tex: np.ndarray) -> np.ndarray:
 
 def ssao_occlusion(normal_v, depth_ndc, proj, inv_proj, offsets, random_tex,
                    occlusion_radius=0.5, fade_start=0.2, fade_end=1.0,
-                   surface_eps=0.05):
+                   surface_eps=0.05, tap_depth=None, row_offset=0,
+                   full_height=None):
     """Half-res SSAO occlusion pass (Ssao.hlsl PS).
 
     normal_v: (h, w, 3) view-space normals (half-res); depth_ndc: (h, w)
     main depth downsampled to half-res; proj/inv_proj: (4, 4) row-vector.
     Returns (h, w) ambient access in [0, 1].
+
+    Band rendering (parallel.sharded): when this computes rows
+    [row_offset, row_offset + h) of a full_height-row screen, the NDC view
+    rays and the random-texture tiling must use GLOBAL rows, and the
+    projective occluder taps must sample the FULL half-res depth map
+    (``tap_depth``, (full_height, w)) — the taps land anywhere on screen
+    (Ssao.hlsl:67-69 reconstructs rays from full-frame NDC).
     """
     h, w = depth_ndc.shape
+    if full_height is None:
+        full_height = h
+    if tap_depth is None:
+        tap_depth = depth_ndc
     A22, B32 = proj[2, 2], proj[3, 2]
 
     # view-space ray through each pixel (quad corners -> inv proj)
     uu = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
-    vv = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    vv = (jnp.arange(h, dtype=jnp.float32) + row_offset + 0.5) / full_height
     U, V = jnp.meshgrid(uu, vv)  # 'xy' indexing: both (h, w)
     ndc = jnp.stack([2 * U - 1, 1 - 2 * V, jnp.zeros_like(U),
                      jnp.ones_like(U)], axis=-1)
@@ -141,6 +176,8 @@ def ssao_occlusion(normal_v, depth_ndc, proj, inv_proj, offsets, random_tex,
 
     occlusion_sum = jnp.zeros_like(pz)
     fade_len = fade_end - fade_start
+    tap_rows, _ = _quad_rows(tap_depth)
+    th, tw = tap_depth.shape
     for i in range(offsets.shape[0]):
         off = jnp.asarray(offsets[i])
         # reflect(offset, randVec) = off - 2*dot(off, rv)*rv
@@ -152,7 +189,7 @@ def ssao_occlusion(normal_v, depth_ndc, proj, inv_proj, offsets, random_tex,
         qn = qh[..., :3] / jnp.maximum(qh[..., 3:4], 1e-8)
         qu = qn[..., 0] * 0.5 + 0.5
         qv = -qn[..., 1] * 0.5 + 0.5
-        rz_ndc = _sample_depth_border_white(depth_ndc, qu, qv)
+        rz_ndc = _tap_depth_border_white(tap_rows, th, tw, qu, qv)
         rz = ndc_depth_to_view(rz_ndc, A22, B32)
         r = (rz / jnp.where(q[..., 2] == 0, 1e-8, q[..., 2]))[..., None] * q
         dist_z = p[..., 2] - r[..., 2]

@@ -9,20 +9,26 @@ pipelining. The TPU-native scaling story is screen-space data parallelism:
   its own horizontal band — rasterization is embarrassingly parallel in
   screen space once triangle setup is replicated (setup is tiny: one
   einsum over vertices).
-- shadow cascades are round-robined over ``sp`` (device d renders cascade
-  d mod 4 band-complete) and combined with a single ``all_gather`` over
-  ICI — every device needs the full shadow maps for PCF, and 4 x S^2
-  floats comfortably rides the interconnect.
-- screen-space filters (SSAO blur) run band-locally; the <=5-pixel halo at
-  band seams uses clamp-to-band (a 1-row ppermute halo exchange is the
-  planned refinement).
+- shadow cascades are distributed over ``sp``: device d renders cascades
+  d*k .. d*k+k-1 with k = ceil(C / n_dev) (one atlas launch per device)
+  and the maps are combined with a single ``all_gather`` over ICI — every
+  device needs the full shadow maps for PCF, and C x S^2 floats
+  comfortably rides the interconnect.
+- SSAO: occlusion is band-local but its projective occluder taps sample
+  the ALL-GATHERED full half-res depth map (the taps land anywhere on
+  screen — Ssao.hlsl:67-69), and the view-ray/random-texture grids use
+  GLOBAL pixel rows. The bilateral blurs then run replicated on the
+  all-gathered half-res maps (dense VPU work, ~2 MB — cheaper than a
+  halo exchange per blur) and each device slices its band back out, so
+  sharded SSAO is bit-identical to the single-chip pass.
 
 Determinism note: band rendering translates screen coordinates per device,
 which changes edge-function fp rounding — coverage at triangle silhouette
 edges can flip by a sub-pixel relative to the single-chip render. Interior
 pixels match exactly.
 
-This module is exercised on a virtual CPU mesh in tests and by
+This module is exercised on a virtual 8-device CPU mesh in tests (both the
+XLA rasterizer and the Pallas kernel in interpreter mode) and by
 ``__graft_entry__.dryrun_multichip``.
 """
 from __future__ import annotations
@@ -38,7 +44,60 @@ from jax import shard_map
 
 from ..config import RenderConfig
 from ..ops import rasterizer as rz
+from ..ops import raster_pallas as rp
+from ..ops import ssao as ssao_ops
 from ..passes import frame as fr
+
+
+def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
+                      cfg: RenderConfig, n_dev: int, axis: str,
+                      d) -> jnp.ndarray:
+    """Cascade-parallel shadow maps: device d renders cascades
+    d*k .. d*k+k-1 (k = ceil(C/n_dev); devices past C render redundant
+    copies that the slice below discards), then one all_gather assembles
+    the full (C, S, S) stack on every device."""
+    C = cfg.num_cascades
+    k = -(-C // n_dev)
+    my_cascades = jnp.stack([(d * k + j) % C for j in range(k)])
+    vps = consts.cascade_view_projs[my_cascades]  # (k, 4, 4)
+    if cfg.use_pallas:
+        my_maps = fr.render_shadow_atlas(scene, consts.shadow_visibility,
+                                         vps, cfg)
+    else:
+        my_maps = jnp.stack([
+            fr.render_one_shadow_map(scene, consts.shadow_visibility,
+                                     vps[j], cfg) for j in range(k)])
+    all_maps = jax.lax.all_gather(my_maps, axis)  # (n_dev, k, S, S)
+    # device-major reshape puts cascade c at index c (devices past C
+    # produced duplicates of cascades (d*k+j) % C, all at indices >= C)
+    return all_maps.reshape(n_dev * k, *my_maps.shape[1:])[:C]
+
+
+def _band_ssao(scene: fr.DeviceScene, consts: fr.FrameConstants,
+               cfg: RenderConfig, normal_v, depth, n_dev: int, axis: str,
+               d, band_h: int):
+    """Band-exact SSAO (see module doc): band-local occlusion with
+    all-gathered tap depth, replicated blur, slice own band."""
+    n_half, d_half = fr.ssao_inputs_half(cfg, normal_v, depth)
+    bh = band_h // cfg.ssao_scale  # band rows at SSAO res
+    d_half_full = jax.lax.all_gather(d_half, axis).reshape(
+        n_dev * bh, d_half.shape[1])
+    access = ssao_ops.ssao_occlusion(
+        n_half, d_half, consts.proj, consts.inv_proj,
+        scene.ssao_offsets, scene.ssao_random_tex,
+        tap_depth=d_half_full, row_offset=d * bh,
+        full_height=n_dev * bh)
+    # blur on the full half-res maps (replicated; exact cross-band halos)
+    access_full = jax.lax.all_gather(access, axis).reshape(
+        n_dev * bh, access.shape[1])
+    n_half_full = jax.lax.all_gather(n_half, axis).reshape(
+        n_dev * bh, *n_half.shape[1:])
+    access_full = fr.ssao_blur(scene, consts, cfg, access_full, n_half_full,
+                               d_half_full)
+    # upsample the FULL map then slice the band: bilinear edge handling at
+    # band seams matches the single-chip upsample exactly
+    up = fr._upsample_bilinear(access_full, cfg.height, cfg.width)
+    return jax.lax.dynamic_slice_in_dim(up, d * band_h, band_h, axis=0)
 
 
 def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
@@ -48,18 +107,8 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
     band_h = cfg.height // n_dev
     H, W = cfg.height, cfg.width
 
-    # ---- shadow maps: each device renders cascade (d % C), all-gather ----
     if cfg.shadows_enabled:
-        C = cfg.num_cascades
-        my_c = d % C
-        vp = consts.cascade_view_projs[my_c]
-        shadow_cfg = dataclasses.replace(cfg, use_pallas=False)
-        my_map = fr.render_one_shadow_map(scene, consts.shadow_visibility,
-                                          vp, shadow_cfg)
-        all_maps = jax.lax.all_gather(my_map, axis)  # (n_dev, S, S)
-        # devices d and d+C computed the same cascade; take the first C
-        shadow_maps = all_maps[:C] if n_dev >= C else jnp.concatenate(
-            [all_maps] * (-(-C // n_dev)), axis=0)[:C]
+        shadow_maps = _band_shadow_maps(scene, consts, cfg, n_dev, axis, d)
     else:
         shadow_maps = jnp.ones((cfg.num_cascades, 2, 2), jnp.float32)
 
@@ -77,9 +126,14 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
     y_off = (d * band_h).astype(jnp.float32)
     tris = tris._replace(
         xy=tris.xy - jnp.stack([jnp.zeros_like(y_off), y_off])[None, None, :])
-    band_cfg = dataclasses.replace(cfg, height=band_h, use_pallas=False)
-    bins = rz.bin_triangles(tris, W, band_h, cfg.pair_capacity)
-    depth, tid = rz.rasterize_binned(tris, bins, W, band_h, cfg.bin_cap)
+    band_cfg = dataclasses.replace(cfg, height=band_h)
+    if cfg.use_pallas:
+        depth, tid = rp.rasterize_pallas(tris, W, band_h, cfg.pair_capacity,
+                                         interpret=cfg.pallas_interpret)
+        tris = tris._replace(xy=rp.snap_xy(tris.xy))  # match kernel coords
+    else:
+        bins = rz.bin_triangles(tris, W, band_h, cfg.pair_capacity)
+        depth, tid = rz.rasterize_binned(tris, bins, W, band_h, cfg.bin_cap)
 
     g = fr.resolve_gbuffer(scene, consts, band_cfg, tris, depth, tid,
                            tri_attr)
@@ -87,9 +141,8 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
     # which is exactly right because tris.xy was shifted.
 
     if cfg.ssao_enabled:
-        access_half = fr.ssao_pass(scene, consts, band_cfg, g["normal_v"],
-                                   depth)
-        ambient_access = fr._upsample_bilinear(access_half, band_h, W)
+        ambient_access = _band_ssao(scene, consts, cfg, g["normal_v"],
+                                    depth, n_dev, axis, d, band_h)
     else:
         ambient_access = jnp.ones((band_h, W), jnp.float32)
 
@@ -106,6 +159,8 @@ def render_frame_sharded(scene: fr.DeviceScene, consts: fr.FrameConstants,
     """Full frame over an n-device mesh; returns (H, W, 4) sharded by rows."""
     n_dev = mesh.shape[axis]
     assert cfg.height % n_dev == 0, "height must divide across devices"
+    assert (cfg.height // n_dev) % cfg.ssao_scale == 0 or \
+        not cfg.ssao_enabled, "band height must divide by ssao_scale"
 
     fn = shard_map(
         functools.partial(_band_render, cfg=cfg, n_dev=n_dev, axis=axis),

@@ -94,10 +94,9 @@ class DeviceScene:
     mat_roughness: jnp.ndarray  # (M,)
     mat_metalness: jnp.ndarray  # (M,)
     mat_transform: jnp.ndarray  # (M, 4, 4)
-    mat_diffuse_tex: jnp.ndarray  # (M,) int32
-    mat_normal_tex: jnp.ndarray  # (M,) int32
-    # textures (two-class analytic pool; see ops.sampling.TexturePool)
-    tex_data: jnp.ndarray
+    mat_pair: jnp.ndarray  # (M,) int32 — (diffuse, normal) pair in the pool
+    # textures (two-class analytic PAIR pool; see ops.sampling.PairPool)
+    pair_data: jnp.ndarray  # (rows, 8) uint32
     cubemap: jnp.ndarray  # (6, S, S, 4) uint32 quad-packed
     # lights
     light_strength: jnp.ndarray  # (16, 3)
@@ -111,20 +110,20 @@ class DeviceScene:
     ssao_offsets: jnp.ndarray  # (14, 3)
     ssao_random_tex: jnp.ndarray  # (256, 256, 3)
     ssao_blur_weights: jnp.ndarray  # (11,)
-    tex_n_big: int = 0  # static: count of big-class textures in the pool
+    n_big_pairs: int = 0  # static: count of big-class pairs in the pool
 
     def tree_flatten(self):
         children = tuple(getattr(self, f.name)
                          for f in dataclasses.fields(self))[:-1]
-        return children, self.tex_n_big
+        return children, self.n_big_pairs
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, tex_n_big=aux)
+        return cls(*children, n_big_pairs=aux)
 
     @property
-    def texture_pool(self):
-        return sampling.TexturePool(self.tex_data, self.tex_n_big)
+    def pair_pool(self):
+        return sampling.PairPool(self.pair_data, self.n_big_pairs)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -243,7 +242,8 @@ def render_one_shadow_map(scene: DeviceScene, shadow_visibility, vp,
     tris = _shadow_bias(tris)
     if cfg.use_pallas:
         depth, _ = rp.rasterize_pallas(tris, S, S, cfg.shadow_pair_capacity,
-                                       with_ids=False)
+                                       with_ids=False,
+                                       interpret=cfg.pallas_interpret)
     else:
         bins = rz.bin_triangles(tris, S, S, cfg.shadow_pair_capacity)
         depth, _ = rz.rasterize_binned(tris, bins, S, S, cfg.shadow_bin_cap,
@@ -263,19 +263,20 @@ def _shadow_bias(tris):
     return tris._replace(z=jnp.clip(tris.z + bias[:, None], 0.0, 1.0))
 
 
-def render_shadow_maps_atlas(scene: DeviceScene, consts: FrameConstants,
-                             cfg: RenderConfig) -> jnp.ndarray:
-    """All cascades rasterized in ONE pass into a horizontal (S, C*S) atlas
-    (one binning + one kernel launch instead of C), then split to
-    (C, S, S). The D3D12 reference records C sequential depth passes
-    (DrawSceneToShadowMap, CRYCHIC.cpp:2479); on TPU a single wider launch
-    amortizes binning and keeps the kernel grid busy."""
+def render_shadow_atlas(scene: DeviceScene, shadow_visibility,
+                        vps: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
+    """The given cascades rasterized in ONE pass into a horizontal
+    (S, k*S) atlas (one binning + one kernel launch instead of k), then
+    split to (k, S, S). The D3D12 reference records k sequential depth
+    passes (DrawSceneToShadowMap, CRYCHIC.cpp:2479); on TPU a single wider
+    launch amortizes binning and keeps the kernel grid busy.
+
+    vps: (k, 4, 4) light view-proj per cascade (k static)."""
     S = cfg.shadow_map_size
-    C = cfg.num_cascades
+    k = vps.shape[0]
     tris_list = []
-    for c in range(C):
-        clip = shadow_clip(scene.shadow, consts.shadow_visibility,
-                           consts.cascade_view_projs[c])
+    for c in range(k):
+        clip = shadow_clip(scene.shadow, shadow_visibility, vps[c])
         t = rz.setup_triangles(clip, scene.shadow.indices, S, S)
         # shift into atlas column c
         t = t._replace(xy=t.xy + jnp.asarray([c * S, 0.0], jnp.float32))
@@ -287,19 +288,28 @@ def render_shadow_maps_atlas(scene: DeviceScene, consts: FrameConstants,
         valid=jnp.concatenate([t.valid for t in tris_list]),
     )
     tris = _shadow_bias(tris)
+    # per-triangle column guard: a triangle extending past its cascade's
+    # viewport must not rasterize into the neighbor's atlas column (the
+    # per-cascade path gets this from its own viewport bounds)
+    T1 = tris.xy.shape[0] // k
+    col = jnp.repeat(jnp.arange(k, dtype=jnp.float32), T1)
+    xrange = (col * S, (col + 1) * S)
     # 32-row tiles: shadow-space triangles are large, and 4x fewer tiles
     # means 4x less run padding and launch overhead
-    depth, _ = rp.rasterize_pallas(tris, C * S, S,
+    depth, _ = rp.rasterize_pallas(tris, k * S, S,
                                    cfg.shadow_pair_capacity, tile_h=32,
-                                   with_ids=False)
-    return jnp.stack([depth[:, c * S:(c + 1) * S] for c in range(C)])
+                                   with_ids=False,
+                                   interpret=cfg.pallas_interpret,
+                                   xrange=xrange)
+    return jnp.stack([depth[:, c * S:(c + 1) * S] for c in range(k)])
 
 
 def render_shadow_maps(scene: DeviceScene, consts: FrameConstants,
                        cfg: RenderConfig) -> jnp.ndarray:
     """4 cascade depth-only renders -> (4, S, S) float32 depth."""
     if cfg.use_pallas:
-        return render_shadow_maps_atlas(scene, consts, cfg)
+        return render_shadow_atlas(scene, consts.shadow_visibility,
+                                   consts.cascade_view_projs, cfg)
 
     def one_cascade(vp):
         return render_one_shadow_map(scene, consts.shadow_visibility, vp,
@@ -394,12 +404,19 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
     pix_uv = lerp3(36, 2)
     mat = r[..., 42].astype(jnp.int32)  # (H, W)
 
-    pool = scene.texture_pool
-    dtex = _mat_select(scene.mat_diffuse_tex, mat)
-    ntex = _mat_select(scene.mat_normal_tex, mat)
-    lod = sampling.compute_lod(pix_uv)
-    diffuse_sample = sampling.sample_trilinear(pool, dtex, pix_uv, lod)
-    normal_sample = sampling.sample_trilinear(pool, ntex, pix_uv, lod)
+    # Texture fetch: ONE pair pool serves diffuse + normal (the reference
+    # samples both with gsamAnisotropicWrap, GeometryPass.hlsl:52-55).
+    pool = scene.pair_pool
+    pairidx = _mat_select(scene.mat_pair, mat)
+    duv_x, duv_y = sampling.uv_derivatives(pix_uv)
+    if cfg.anisotropy > 1:
+        diffuse_sample, normal_sample = sampling.sample_pair_aniso(
+            pool, pairidx, pix_uv, duv_x, duv_y, cfg.anisotropy,
+            probes=cfg.aniso_probes)
+    else:
+        lod_uv = sampling.lod_from_derivatives(duv_x, duv_y)
+        diffuse_sample, normal_sample = sampling.sample_pair_trilinear(
+            pool, pairidx, pix_uv, lod_uv)
 
     albedo = _mat_select(scene.mat_albedo, mat) * diffuse_sample
     unit_n = shading.normalize(pix_nrm_w)
@@ -425,20 +442,22 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
 # SSAO
 # ---------------------------------------------------------------------------
 
-def ssao_pass(scene: DeviceScene, consts: FrameConstants, cfg: RenderConfig,
-              normal_v: jnp.ndarray, depth: jnp.ndarray) -> jnp.ndarray:
-    """Half-res occlusion + N two-pass bilateral blurs -> (h, w) access."""
-    # half-res inputs, matching the reference's sampler footprints:
-    # normals point-sampled, depth box-filtered (see Ssao.hlsl samplers)
+def ssao_inputs_half(cfg: RenderConfig, normal_v: jnp.ndarray,
+                     depth: jnp.ndarray):
+    """Downsample to the SSAO resolution, matching the reference's sampler
+    footprints: normals point-sampled, depth box-filtered (see Ssao.hlsl
+    samplers)."""
     k = cfg.ssao_scale
     sh_, sw_ = depth.shape[0] // k, depth.shape[1] // k
     n_half = normal_v[k - 1::k, k - 1::k][:sh_, :sw_]
     d_half = depth[: sh_ * k, : sw_ * k].reshape(sh_, k, sw_, k).mean((1, 3))
+    return n_half, d_half
 
-    access = ssao_ops.ssao_occlusion(
-        n_half, d_half, consts.proj, consts.inv_proj,
-        scene.ssao_offsets, scene.ssao_random_tex)
 
+def ssao_blur(scene: DeviceScene, consts: FrameConstants, cfg: RenderConfig,
+              access: jnp.ndarray, n_half: jnp.ndarray,
+              d_half: jnp.ndarray) -> jnp.ndarray:
+    """N two-pass (horizontal + vertical) bilateral blurs."""
     d_view = ssao_ops.ndc_depth_to_view(d_half, consts.proj[2, 2],
                                         consts.proj[3, 2])
     w = scene.ssao_blur_weights
@@ -446,6 +465,16 @@ def ssao_pass(scene: DeviceScene, consts: FrameConstants, cfg: RenderConfig,
         access = ssao_ops.bilateral_blur(access, n_half, d_view, w, True)
         access = ssao_ops.bilateral_blur(access, n_half, d_view, w, False)
     return access
+
+
+def ssao_pass(scene: DeviceScene, consts: FrameConstants, cfg: RenderConfig,
+              normal_v: jnp.ndarray, depth: jnp.ndarray) -> jnp.ndarray:
+    """Half-res occlusion + N two-pass bilateral blurs -> (h, w) access."""
+    n_half, d_half = ssao_inputs_half(cfg, normal_v, depth)
+    access = ssao_ops.ssao_occlusion(
+        n_half, d_half, consts.proj, consts.inv_proj,
+        scene.ssao_offsets, scene.ssao_random_tex)
+    return ssao_blur(scene, consts, cfg, access, n_half, d_half)
 
 
 def _upsample_bilinear(img: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
@@ -544,6 +573,62 @@ def lighting_pass(scene: DeviceScene, consts: FrameConstants,
 
 
 # ---------------------------------------------------------------------------
+# Capacity diagnostics (jittable)
+# ---------------------------------------------------------------------------
+
+def main_view_tris(scene: DeviceScene, consts: FrameConstants,
+                   cfg: RenderConfig):
+    """Vertex stage + near clip + screen setup for the main view (the
+    shared front half of render_frame and the capacity probes)."""
+    pos_w, nrm_w, tan_w, uv, clip = vertex_stage(
+        scene.opaque, consts.opaque_visibility, consts.view_proj,
+        scene.mat_transform)
+    tri_attr = build_tri_attrs(scene.opaque, pos_w, nrm_w, tan_w, uv, clip)
+    tri_attr, tri_valid = clipping.clip_near(
+        tri_attr, jnp.ones(tri_attr.shape[0], bool))
+    tris = rz.setup_tri_verts(tri_attr[..., :4], tri_valid,
+                              cfg.width, cfg.height)
+    return tris, tri_attr
+
+
+def capacity_requirements(scene: DeviceScene, consts: FrameConstants,
+                          cfg: RenderConfig):
+    """Exact (tile, triangle) pair counts the frame will expand to — the
+    quantities pair_capacity/shadow_pair_capacity must exceed, else the
+    rasterizer silently drops geometry. Cheap (dense per-triangle math,
+    no pair expansion); jit and read two scalars."""
+    tris, _ = main_view_tris(scene, consts, cfg)
+    th = rp.TILE_H if cfg.use_pallas else rz.TILE_H
+    tx0, ty0, bw, bh, ntx, nty = rz._tile_bbox(tris, cfg.width, cfg.height,
+                                               th, rz.TILE_W)
+    main_pairs = (bw * bh).astype(jnp.int32).sum()
+    # exact per-tile counts without pair expansion: rectangle scatter by
+    # inclusion-exclusion + 2D cumsum (the XLA path truncates each tile's
+    # run at bin_cap, so its max matters)
+    img = jnp.zeros((nty + 1, ntx + 1), jnp.int32)
+    one = (bw > 0).astype(jnp.int32)
+    img = img.at[ty0, tx0].add(one, mode="drop")
+    img = img.at[ty0, tx0 + bw].add(-one, mode="drop")
+    img = img.at[ty0 + bh, tx0].add(-one, mode="drop")
+    img = img.at[ty0 + bh, tx0 + bw].add(one, mode="drop")
+    tile_counts = jnp.cumsum(jnp.cumsum(img, axis=0), axis=1)[:nty, :ntx]
+    main_max_tile = tile_counts.max()
+
+    S = cfg.shadow_map_size
+    C = cfg.num_cascades
+    shadow_pairs = jnp.int32(0)
+    for c in range(C):
+        clip = shadow_clip(scene.shadow, consts.shadow_visibility,
+                           consts.cascade_view_projs[c])
+        t = rz.setup_triangles(clip, scene.shadow.indices, S, S)
+        sh_th = 32 if cfg.use_pallas else rz.TILE_H
+        _, _, bw, bh, _, _ = rz._tile_bbox(t, S, S, sh_th, rz.TILE_W)
+        shadow_pairs = shadow_pairs + (bw * bh).astype(jnp.int32).sum()
+    return dict(main_pairs=main_pairs, shadow_pairs=shadow_pairs,
+                main_max_tile=main_max_tile)
+
+
+# ---------------------------------------------------------------------------
 # Full frame
 # ---------------------------------------------------------------------------
 
@@ -554,15 +639,10 @@ def render_frame(scene: DeviceScene, consts: FrameConstants,
 
     # vertex stage + near-plane clip + main rasterization (one visibility
     # buffer feeds the normal/depth, G-buffer and lighting passes)
-    pos_w, nrm_w, tan_w, uv, clip = vertex_stage(
-        scene.opaque, consts.opaque_visibility, consts.view_proj,
-        scene.mat_transform)
-    tri_attr = build_tri_attrs(scene.opaque, pos_w, nrm_w, tan_w, uv, clip)
-    tri_attr, tri_valid = clipping.clip_near(
-        tri_attr, jnp.ones(tri_attr.shape[0], bool))
-    tris = rz.setup_tri_verts(tri_attr[..., :4], tri_valid, W, H)
+    tris, tri_attr = main_view_tris(scene, consts, cfg)
     if cfg.use_pallas:
-        depth, tid = rp.rasterize_pallas(tris, W, H, cfg.pair_capacity)
+        depth, tid = rp.rasterize_pallas(tris, W, H, cfg.pair_capacity,
+                                         interpret=cfg.pallas_interpret)
         tris = tris._replace(xy=rp.snap_xy(tris.xy))  # match kernel coords
     else:
         bins = rz.bin_triangles(tris, W, H, cfg.pair_capacity)

@@ -1,0 +1,40 @@
+"""Rasterizer capacity guards: auto-sizing + overflow detection
+(VERDICT r1 item 6 — no more silent triangle drops)."""
+import dataclasses
+
+import pytest
+
+from crychic_renderer_tpu.config import RenderConfig
+from crychic_renderer_tpu.models.scene import build_cascade_scene
+from crychic_renderer_tpu.app.renderer import Renderer
+
+
+def _cfg(**kw):
+    base = dict(width=256, height=128, shadow_map_size=128,
+                pair_capacity=1 << 16, bin_cap=256,
+                shadow_pair_capacity=1 << 16, shadow_bin_cap=256,
+                use_pallas=False, ssao_enabled=False)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_autosize_covers_requirements():
+    r = Renderer(build_cascade_scene(), _cfg())
+    req = r.check_capacity(0.0)  # must not raise
+    assert r.cfg.pair_capacity >= 2 * req["main_pairs"]
+    assert r.cfg.shadow_pair_capacity >= 2 * req["shadow_pairs"]
+    assert r.cfg.bin_cap >= req["main_max_tile"]
+
+
+def test_overflow_raises_instead_of_silent_drop():
+    r = Renderer(build_cascade_scene(), _cfg(pair_capacity=16),
+                 auto_capacity=False)
+    with pytest.raises(RuntimeError, match="overflow"):
+        r.check_capacity(0.0)
+
+
+def test_shadow_overflow_raises():
+    r = Renderer(build_cascade_scene(), _cfg(shadow_pair_capacity=16),
+                 auto_capacity=False)
+    with pytest.raises(RuntimeError, match="shadow raster overflow"):
+        r.check_capacity(0.0)

@@ -1,4 +1,7 @@
 """Sharded-frame tests on the virtual 8-device CPU mesh."""
+import dataclasses
+import functools
+
 import numpy as np
 import jax
 import pytest
@@ -11,29 +14,21 @@ def test_dryrun_multichip_entry():
     ge.dryrun_multichip(n)
 
 
-@pytest.mark.slow
-def test_sharded_matches_single_device():
-    """The 4-device sharded frame equals the single-device frame (up to the
-    documented band-local SSAO halo difference; SSAO off here)."""
-    import dataclasses
-    import functools
-
+def _small_scene_and_cfg(**cfg_overrides):
     from crychic_renderer_tpu.config import RenderConfig
-    from crychic_renderer_tpu.models.scene import build_cascade_scene
     from crychic_renderer_tpu.app.renderer import Renderer
-    from crychic_renderer_tpu.parallel import sharded
-    from crychic_renderer_tpu.passes import frame as fr
-
     from crychic_renderer_tpu.models import geometry as gg
     from crychic_renderer_tpu.models.materials import Material
     from crychic_renderer_tpu.models.scenes_baseline import _scene_from_items
     from crychic_renderer_tpu.models.scene import LAYER_OPAQUE, make_item
     from crychic_renderer_tpu.utils import mathutil as mu
 
-    cfg = RenderConfig(width=256, height=64, shadow_map_size=128,
-                       ssao_enabled=False, use_pallas=False,
-                       pair_capacity=1 << 16, bin_cap=1024,
-                       shadow_pair_capacity=1 << 16, shadow_bin_cap=1024)
+    base = dict(width=256, height=64, shadow_map_size=128,
+                ssao_enabled=True, use_pallas=False,
+                pair_capacity=1 << 16, bin_cap=1024,
+                shadow_pair_capacity=1 << 16, shadow_bin_cap=1024)
+    base.update(cfg_overrides)
+    cfg = RenderConfig(**base)
     # NOTE: bin_cap must exceed the busiest tile's triangle count (the XLA
     # raster path truncates at bin_cap); a fight-free scene keeps the
     # comparison exact.
@@ -48,11 +43,22 @@ def test_sharded_matches_single_device():
         "white1x1", "default_nmap", "sky_cube", "default_nmap",
         "white1x1", "white1x1"])
     r = Renderer(scene, cfg)
+    # Renderer downgrades use_pallas on the CPU backend; put the requested
+    # value back so the comparison exercises the cfg under test.
+    r.cfg = dataclasses.replace(r.cfg, **cfg_overrides)
+    return r, r.cfg
+
+
+def _compare_sharded(cfg, r, n_dev):
+    from crychic_renderer_tpu.parallel import sharded
+    from crychic_renderer_tpu.passes import frame as fr
+
     consts = r.frame_constants(0.0)
+    single = np.asarray(
+        jax.jit(functools.partial(fr.render_frame, cfg=cfg))(
+            r.device_scene, consts))
 
-    single = np.asarray(fr.render_frame(r.device_scene, consts, cfg))
-
-    mesh = sharded.make_mesh(4)
+    mesh = sharded.make_mesh(n_dev)
     multi = np.asarray(jax.jit(functools.partial(
         sharded.render_frame_sharded, cfg=cfg, mesh=mesh))(
             r.device_scene, consts))
@@ -60,8 +66,26 @@ def test_sharded_matches_single_device():
     assert multi.shape == single.shape
     # Band rendering translates screen coordinates per device, which changes
     # edge-function fp rounding: coverage at triangle silhouette edges can
-    # flip (sub-pixel). Interior shading matches; only edge pixels may show
-    # visible differences.
+    # flip (sub-pixel). Interior shading (incl. SSAO, which is band-exact)
+    # matches; only edge pixels may show visible differences.
     diff = np.abs(multi - single).max(axis=-1)
     visible = diff > 0.02
     assert visible.mean() < 0.01, f"visible mismatch {visible.mean():.4f}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_matches_single_device(n_dev):
+    """The sharded frame equals the single-device frame for device counts
+    below, equal to, and above num_cascades — with SSAO enabled."""
+    r, cfg = _small_scene_and_cfg()
+    _compare_sharded(cfg, r, n_dev)
+
+
+@pytest.mark.slow
+def test_sharded_pallas_kernel_matches_single():
+    """The sharded path runs the SAME Pallas rasterizer the single-chip
+    frame uses (interpret mode on CPU), including the shadow atlas."""
+    r, cfg = _small_scene_and_cfg(use_pallas=True, pallas_interpret=True,
+                                  ssao_enabled=False)
+    _compare_sharded(cfg, r, 2)

@@ -139,7 +139,7 @@ def build_pair_pool(scene: Scene, asset_dir=DEFAULT_ASSET_DIR):
 
 
 def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
-                       lights=None) -> fr.DeviceScene:
+                       lights=None, ssao_dims=(540, 960)) -> fr.DeviceScene:
     if lights is None:
         lights = build_reference_lights()
     pool, mat_pair, anim_specs = build_pair_pool(scene, asset_dir)
@@ -164,8 +164,8 @@ def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
         light_spot_power=jnp.asarray(lights.spot_power),
         ambient=jnp.asarray(lights.ambient),
         ssao_offsets=jnp.asarray(ssao_ops.build_offset_vectors()),
-        ssao_random_tex=jnp.asarray(ssao_ops.pack_random_texture(
-            ssao_ops.build_random_vector_texture())),
+        ssao_random_field=jnp.asarray(ssao_ops.build_random_field(
+            ssao_ops.build_random_vector_texture(), *ssao_dims)),
         ssao_blur_weights=jnp.asarray(ssao_ops.calc_gauss_weights(2.5)),
         n_big_pairs=pool.n_big,
     ), anim_specs
@@ -188,7 +188,8 @@ class Renderer:
         self.light_dir0 = (lights.direction[0] if lights is not None
                            else build_reference_lights().direction[0])
         self.device_scene, self.anim_specs = build_device_scene(
-            scene, asset_dir, lights)
+            scene, asset_dir, lights,
+            ssao_dims=(self.cfg.ssao_height, self.cfg.ssao_width))
         self._base_mat_pair = np.asarray(self.device_scene.mat_pair)
         if auto_capacity:
             self._autosize_capacity()

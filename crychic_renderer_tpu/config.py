@@ -48,6 +48,11 @@ class RenderConfig:
     # debug views: None | "shadow_cascade3" (the reference's ShadowDebug.hlsl
     # quad) | "cascades" (the commented-out colorization, Default.hlsl:152)
     debug_view: str = None
+    # the sky is the PROCEDURAL substitute (the reference's snowcube1024.dds
+    # asset is missing, SURVEY.md §0): evaluate it analytically — zero
+    # gathers, strictly less quantization than sampling the baked cubemap.
+    # False = gather from DeviceScene.cubemap (file-loaded cubemaps).
+    procedural_sky: bool = True
     # performance knobs (defaults keep reference parity):
     # compute the cascade PCF factor at half resolution + bilinear upsample
     fast_shadow_factor: bool = False

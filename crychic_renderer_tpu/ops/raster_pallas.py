@@ -257,13 +257,23 @@ def build_records(tris: rz.ScreenTris, bins: rz.Bins, ntx: int,
 def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
                      pair_capacity: int, interpret: bool = False,
                      tile_h: int = TILE_H, with_ids: bool = True,
-                     with_stats: bool = False, xrange=None):
+                     with_stats: bool = False, xrange=None,
+                     tile_row_offset=None, num_tile_rows: int = None):
     """Full pipeline: bin (XLA) + raster (Pallas kernel).
 
     Triangle setup must use the same snapped coordinates the records use,
     so callers should pass `tris` from rz.setup_triangles unchanged — the
     snapping happens inside build_records (binning bboxes stay
     conservative either way).
+
+    Band mode (multi-chip, parallel.sharded): when ``tile_row_offset``
+    (traced scalar ok) and ``num_tile_rows`` (static) are given, binning
+    and record anchoring still run over the FULL (width x height) screen,
+    but the kernel grid covers only tile rows [tile_row_offset,
+    tile_row_offset + num_tile_rows) and the output holds just those rows.
+    Because every record keeps its GLOBAL tile anchor, the band's
+    edge-function/depth fp math is bit-identical to the single-chip
+    render — no silhouette flips at band seams.
 
     Returns (depth (H, W) f32, tid (H, W) i32[, stats]); stats (when
     with_stats) is a dict of scalars: pairs_valid, pairs_overflowed (pairs
@@ -277,16 +287,25 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
                             tile_h=tile_h, tile_w=TILE_W)
     records = build_records(tris, bins, ntx, num_tiles, tile_h, xrange)
 
+    if num_tile_rows is None:
+        grid_tiles = num_tiles
+        starts_g, counts_g = bins.starts, bins.counts
+    else:
+        grid_tiles = num_tile_rows * ntx
+        off = jnp.asarray(tile_row_offset, jnp.int32) * ntx
+        starts_g = jax.lax.dynamic_slice_in_dim(bins.starts, off, grid_tiles)
+        counts_g = jax.lax.dynamic_slice_in_dim(bins.counts, off, grid_tiles)
+
     # pad the tile tables to a multiple of TILES_PER_PROG (extra tiles have
     # count 0 and cost one scalar read each)
-    num_progs = -(-num_tiles // TILES_PER_PROG)
-    pad_tiles = num_progs * TILES_PER_PROG - num_tiles
+    num_progs = -(-grid_tiles // TILES_PER_PROG)
+    pad_tiles = num_progs * TILES_PER_PROG - grid_tiles
     if pad_tiles:
-        starts = jnp.pad(bins.starts, (0, pad_tiles))
-        counts = jnp.pad(bins.counts, (0, pad_tiles))
+        starts = jnp.pad(starts_g, (0, pad_tiles))
+        counts = jnp.pad(counts_g, (0, pad_tiles))
     else:
-        starts = bins.starts
-        counts = bins.counts
+        starts = starts_g
+        counts = counts_g
 
     kernel = functools.partial(_raster_kernel, tile_h=tile_h,
                                with_ids=with_ids,
@@ -316,13 +335,17 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
         out_shape=out_shape,
         interpret=interpret,
     )(starts, counts, records)
-    depth_flat = outs[0][:num_tiles]
-    tid_flat = outs[1][:num_tiles] if with_ids else None
+    depth_flat = outs[0][:grid_tiles]
+    tid_flat = outs[1][:grid_tiles] if with_ids else None
+    out_rows = nty if num_tile_rows is None else num_tile_rows
 
     def assemble(flat):
-        img = flat.reshape(nty, ntx, tile_h, TILE_W)
-        img = img.transpose(0, 2, 1, 3).reshape(nty * tile_h, ntx * TILE_W)
-        return img[:height, :width]
+        img = flat.reshape(out_rows, ntx, tile_h, TILE_W)
+        img = img.transpose(0, 2, 1, 3).reshape(out_rows * tile_h,
+                                                ntx * TILE_W)
+        if num_tile_rows is None:
+            img = img[:height, :]
+        return img[:, :width]
 
     out = (assemble(depth_flat), (assemble(tid_flat) if with_ids else None))
     if with_stats:

@@ -291,12 +291,18 @@ def rasterize_bruteforce(tris: ScreenTris, width: int, height: int,
 
 def rasterize_binned(tris: ScreenTris, bins: Bins, width: int, height: int,
                      bin_cap: int, tri_block: int = 32,
-                     with_ids: bool = True):
+                     with_ids: bool = True,
+                     tile_row_offset=None, num_tile_rows: int = None):
     """Pure-XLA tiled rasterizer over the binned pairs.
 
     Each tile processes up to ``bin_cap`` triangles from its contiguous run
     in ``bins.order`` in blocks of ``tri_block``, evaluating edge functions
     over the tile's pixels and keeping the nearest (z, tri_id) per pixel.
+
+    Band mode (see raster_pallas.rasterize_pallas): with tile_row_offset
+    (traced ok) + num_tile_rows (static), only those tile rows of the
+    full-screen bin table are rasterized, with GLOBAL tile origins — the
+    band's fp math is bit-identical to the single-chip render.
 
     Returns (depth (H, W), tri_id (H, W) or None).
     """
@@ -311,13 +317,24 @@ def rasterize_binned(tris: ScreenTris, bins: Bins, width: int, height: int,
     zB = (B * tris.z * inv_a2[:, None]).sum(-1)
     zC = (C * tris.z * inv_a2[:, None]).sum(-1)
 
+    if num_tile_rows is None:
+        starts_g, counts_g = bins.starts, bins.counts
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+        out_rows = nty
+    else:
+        out_rows = num_tile_rows
+        grid_tiles = num_tile_rows * ntx
+        off = jnp.asarray(tile_row_offset, jnp.int32) * ntx
+        starts_g = jax.lax.dynamic_slice_in_dim(bins.starts, off, grid_tiles)
+        counts_g = jax.lax.dynamic_slice_in_dim(bins.counts, off, grid_tiles)
+        tile_ids = off + jnp.arange(grid_tiles, dtype=jnp.int32)
+
     # per-tile fixed-size bin lists (gathered from the sorted pair array)
     k = jnp.arange(bin_cap, dtype=jnp.int32)[None, :]
-    idx = jnp.clip(bins.starts[:, None] + k, 0, bins.order.shape[0] - 1)
+    idx = jnp.clip(starts_g[:, None] + k, 0, bins.order.shape[0] - 1)
     bin_tris = bins.order[idx]  # (num_tiles, bin_cap)
-    bin_valid = k < bins.counts[:, None]
+    bin_valid = k < counts_g[:, None]
 
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_x0 = ((tile_ids % ntx) * TILE_W).astype(jnp.float32)
     tile_y0 = ((tile_ids // ntx) * TILE_H).astype(jnp.float32)
     lx = (jnp.arange(TILE_W, dtype=jnp.float32) + 0.5)[None, :]
@@ -361,16 +378,16 @@ def rasterize_binned(tris: ScreenTris, bins: Bins, width: int, height: int,
         return depth, best
 
     depth_t, id_t = jax.vmap(tile_fn)(bin_tris, bin_valid, tile_x0, tile_y0)
-    depth = (depth_t.reshape(nty, ntx, TILE_H, TILE_W)
-             .transpose(0, 2, 1, 3).reshape(nty * TILE_H, ntx * TILE_W))
-    depth = depth[:height, :width]
-    if with_ids:
-        tid = (id_t.reshape(nty, ntx, TILE_H, TILE_W)
-               .transpose(0, 2, 1, 3).reshape(nty * TILE_H, ntx * TILE_W))
-        tid = tid[:height, :width]
-    else:
-        tid = None
-    return depth, tid
+
+    def assemble(flat):
+        img = (flat.reshape(out_rows, ntx, TILE_H, TILE_W)
+               .transpose(0, 2, 1, 3).reshape(out_rows * TILE_H,
+                                              ntx * TILE_W))
+        if num_tile_rows is None:
+            img = img[:height, :]
+        return img[:, :width]
+
+    return assemble(depth_t), (assemble(id_t) if with_ids else None)
 
 
 def raster_stats(tris: ScreenTris, width: int, height: int,

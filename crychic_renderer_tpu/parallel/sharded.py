@@ -82,9 +82,11 @@ def _band_ssao(scene: fr.DeviceScene, consts: fr.FrameConstants,
     bh = band_h // cfg.ssao_scale  # band rows at SSAO res
     d_half_full = jax.lax.all_gather(d_half, axis).reshape(
         n_dev * bh, d_half.shape[1])
+    band_field = jax.lax.dynamic_slice_in_dim(
+        scene.ssao_random_field, d * bh, bh, axis=0)
     access = ssao_ops.ssao_occlusion(
         n_half, d_half, consts.proj, consts.inv_proj,
-        scene.ssao_offsets, scene.ssao_random_tex,
+        scene.ssao_offsets, random_field=band_field,
         tap_depth=d_half_full, row_offset=d * bh,
         full_height=n_dev * bh)
     # blur on the full half-res maps (replicated; exact cross-band halos)
@@ -112,33 +114,42 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
     else:
         shadow_maps = jnp.ones((cfg.num_cascades, 2, 2), jnp.float32)
 
-    # ---- main band: shift the viewport so this band is rows [0, band_h) --
-    from ..ops import clipping
-
-    pos_w, nrm_w, tan_w, uv, clip = fr.vertex_stage(
-        scene.opaque, consts.opaque_visibility, consts.view_proj,
-        scene.mat_transform)
-    tri_attr = fr.build_tri_attrs(scene.opaque, pos_w, nrm_w, tan_w, uv,
-                                  clip)
-    tri_attr, tri_valid = clipping.clip_near(
-        tri_attr, jnp.ones(tri_attr.shape[0], bool))
-    tris = rz.setup_tri_verts(tri_attr[..., :4], tri_valid, W, H)
-    y_off = (d * band_h).astype(jnp.float32)
-    tris = tris._replace(
-        xy=tris.xy - jnp.stack([jnp.zeros_like(y_off), y_off])[None, None, :])
+    # ---- main band: rasterize this device's tile rows of the FULL screen
+    # (global tile anchors -> bit-identical fp math to the single-chip
+    # render; no silhouette flips at band seams)
+    tris, tri_attr = fr.main_view_tris(scene, consts, cfg)
+    y0 = d * band_h  # first band pixel row (traced)
+    tile_h = rp.TILE_H if cfg.use_pallas else rz.TILE_H
+    nty = -(-H // tile_h)
+    # static covering-tile-row count: enough rows for any band alignment
+    # PLUS one halo pixel row below the band (uv derivatives at the seam)
+    n_rows = min(-(-(band_h + tile_h) // tile_h), nty)
+    tr0 = jnp.clip(y0 // tile_h, 0, nty - n_rows)
     band_cfg = dataclasses.replace(cfg, height=band_h)
     if cfg.use_pallas:
-        depth, tid = rp.rasterize_pallas(tris, W, band_h, cfg.pair_capacity,
-                                         interpret=cfg.pallas_interpret)
+        depth, tid = rp.rasterize_pallas(tris, W, H, cfg.pair_capacity,
+                                         interpret=cfg.pallas_interpret,
+                                         tile_row_offset=tr0,
+                                         num_tile_rows=n_rows)
         tris = tris._replace(xy=rp.snap_xy(tris.xy))  # match kernel coords
     else:
-        bins = rz.bin_triangles(tris, W, band_h, cfg.pair_capacity)
-        depth, tid = rz.rasterize_binned(tris, bins, W, band_h, cfg.bin_cap)
+        bins = rz.bin_triangles(tris, W, H, cfg.pair_capacity)
+        depth, tid = rz.rasterize_binned(tris, bins, W, H, cfg.bin_cap,
+                                         tile_row_offset=tr0,
+                                         num_tile_rows=n_rows)
+    # slice the band + 1 halo row (the slab is extended by one duplicate
+    # row so the last band's slice stays in range; its halo contribution
+    # is overridden by resolve_gbuffer's last-image-row derivative rule)
+    local_y = y0 - tr0 * tile_h
+    depth = jnp.concatenate([depth, depth[-1:]], axis=0)
+    tid = jnp.concatenate([tid, tid[-1:]], axis=0)
+    depth = jax.lax.dynamic_slice_in_dim(depth, local_y, band_h + 1, axis=0)
+    tid = jax.lax.dynamic_slice_in_dim(tid, local_y, band_h + 1, axis=0)
 
     g = fr.resolve_gbuffer(scene, consts, band_cfg, tris, depth, tid,
-                           tri_attr)
-    # resolve_gbuffer computed barycentrics at band-local pixel centers,
-    # which is exactly right because tris.xy was shifted.
+                           tri_attr, row_offset=y0, full_height=H,
+                           out_rows=band_h)
+    depth = depth[:band_h]
 
     if cfg.ssao_enabled:
         ambient_access = _band_ssao(scene, consts, cfg, g["normal_v"],

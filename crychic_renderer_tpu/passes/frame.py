@@ -108,7 +108,9 @@ class DeviceScene:
     ambient: jnp.ndarray  # (4,)
     # ssao setup
     ssao_offsets: jnp.ndarray  # (14, 3)
-    ssao_random_tex: jnp.ndarray  # (256, 256, 3)
+    # per-pixel random vectors at SSAO res, precomputed from the 256^2
+    # MSVC-rand texture (frame-constant indices -> zero gathers per frame)
+    ssao_random_field: jnp.ndarray  # (h, w, 3)
     ssao_blur_weights: jnp.ndarray  # (11,)
     n_big_pairs: int = 0  # static: count of big-class pairs in the pool
 
@@ -224,12 +226,26 @@ def shadow_clip(draw: DeviceDraw, visibility: jnp.ndarray,
     return clip * visibility[draw.vertex_instance][:, None]
 
 
+def shadow_tri_world(draw: DeviceDraw, visibility: jnp.ndarray):
+    """Per-triangle world-space homogeneous vertices (T, 3, 4), culled
+    instances zeroed. Shared by all cascades: the world transform and the
+    vertex->triangle gather (the expensive parts — 3 gather rows per
+    triangle) run ONCE; each cascade then only pays a tiny dense
+    (T, 3, 4) @ (4, 4) projection."""
+    W = draw.worlds[draw.vertex_instance]
+    ph = jnp.concatenate(
+        [draw.positions, jnp.ones_like(draw.positions[..., :1])], axis=-1)
+    pos_w = jnp.einsum("vi,vij->vj", ph, W)
+    pos_w = pos_w * visibility[draw.vertex_instance][:, None]
+    return pos_w[draw.indices.reshape(-1, 3)]  # (T, 3, 4)
+
+
 # ---------------------------------------------------------------------------
 # Shadow pass
 # ---------------------------------------------------------------------------
 
 def render_one_shadow_map(scene: DeviceScene, shadow_visibility, vp,
-                          cfg: RenderConfig) -> jnp.ndarray:
+                          cfg: RenderConfig, tri_world=None) -> jnp.ndarray:
     """One cascade's depth-only render -> (S, S) float32 depth.
 
     Depth bias replicates the shadow PSO's rasterizer state
@@ -237,8 +253,9 @@ def render_one_shadow_map(scene: DeviceScene, shadow_visibility, vp,
     slope-scaled 2.0, applied per triangle from its depth plane slopes.
     """
     S = cfg.shadow_map_size
-    clip = shadow_clip(scene.shadow, shadow_visibility, vp)
-    tris = rz.setup_triangles(clip, scene.shadow.indices, S, S)
+    if tri_world is None:
+        tri_world = shadow_tri_world(scene.shadow, shadow_visibility)
+    tris = rz.setup_tri_verts(tri_world @ vp, None, S, S)
     tris = _shadow_bias(tris)
     if cfg.use_pallas:
         depth, _ = rp.rasterize_pallas(tris, S, S, cfg.shadow_pair_capacity,
@@ -274,10 +291,10 @@ def render_shadow_atlas(scene: DeviceScene, shadow_visibility,
     vps: (k, 4, 4) light view-proj per cascade (k static)."""
     S = cfg.shadow_map_size
     k = vps.shape[0]
+    tri_world = shadow_tri_world(scene.shadow, shadow_visibility)
     tris_list = []
     for c in range(k):
-        clip = shadow_clip(scene.shadow, shadow_visibility, vps[c])
-        t = rz.setup_triangles(clip, scene.shadow.indices, S, S)
+        t = rz.setup_tri_verts(tri_world @ vps[c], None, S, S)
         # shift into atlas column c
         t = t._replace(xy=t.xy + jnp.asarray([c * S, 0.0], jnp.float32))
         tris_list.append(t)
@@ -311,9 +328,11 @@ def render_shadow_maps(scene: DeviceScene, consts: FrameConstants,
         return render_shadow_atlas(scene, consts.shadow_visibility,
                                    consts.cascade_view_projs, cfg)
 
+    tri_world = shadow_tri_world(scene.shadow, consts.shadow_visibility)
+
     def one_cascade(vp):
         return render_one_shadow_map(scene, consts.shadow_visibility, vp,
-                                     cfg)
+                                     cfg, tri_world=tri_world)
 
     return jax.vmap(one_cascade)(consts.cascade_view_projs)
 
@@ -352,7 +371,8 @@ def build_tri_attrs(draw: DeviceDraw, pos_w, nrm_w, tan_w, uv, clip):
 def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
                     cfg: RenderConfig, tris: rz.ScreenTris,
                     depth: jnp.ndarray, tid: jnp.ndarray,
-                    tri_attr: jnp.ndarray):
+                    tri_attr: jnp.ndarray, row_offset=0.0,
+                    full_height: int = None, out_rows: int = None):
     """Gather the winning triangle's vertex data per pixel and build the
     G-buffer (GeometryPass.hlsl PS + GBuffer.hlsl encode, fused with the
     DrawNormals.hlsl view-space-normal output).
@@ -362,8 +382,15 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
 
     Returns dict with posW (H,W,3), normalW bumped (H,W,3), normalV view
     (H,W,3), albedo (H,W,4), roughness, metalness (H,W,1), valid (H,W).
+
+    Band rendering (parallel.sharded): depth/tid may carry ONE halo row
+    below the band (so uv derivatives at the band seam see the real next
+    row); row_offset is the band's global first row, full_height the full
+    image height, and out_rows trims the halo off every output.
     """
     H, W = depth.shape
+    if full_height is None:
+        full_height = H
     valid = tid >= 0
     safe_tid = jnp.maximum(tid, 0)
 
@@ -384,8 +411,11 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
 
     xy = r[..., :6].reshape(H, W, 3, 2)
     inv_w = r[..., 6:9]
+    # row_offset: band rendering (parallel.sharded) evaluates barycentrics
+    # at GLOBAL pixel rows so band output is bit-identical to single-chip
     px = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :].repeat(H, 0)
-    py = (jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None].repeat(W, 1)
+    py = (jnp.arange(H, dtype=jnp.float32) + row_offset
+          + 0.5)[:, None].repeat(W, 1)
     b = rz.barycentrics_at(xy, px, py)  # (H, W, 3) screen-space
     wgt = b * inv_w
     wgt = wgt / jnp.maximum(wgt.sum(-1, keepdims=True), 1e-20)
@@ -409,6 +439,13 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
     pool = scene.pair_pool
     pairidx = _mat_select(scene.mat_pair, mat)
     duv_x, duv_y = sampling.uv_derivatives(pix_uv)
+    # the last IMAGE row uses the backward difference (identical numbers to
+    # uv_derivatives' copy-previous edge rule when H == full_height; with a
+    # band halo row it overrides the halo's contribution for the last band)
+    grow = jnp.asarray(row_offset, jnp.int32) + jnp.arange(H, dtype=jnp.int32)
+    is_last = (grow == full_height - 1)[:, None, None]
+    uv_prev = jnp.concatenate([pix_uv[:1], pix_uv[:-1]], axis=0)
+    duv_y = jnp.where(is_last, pix_uv - uv_prev, duv_y)
     if cfg.anisotropy > 1:
         diffuse_sample, normal_sample = sampling.sample_pair_aniso(
             pool, pairidx, pix_uv, duv_x, duv_y, cfg.anisotropy,
@@ -426,7 +463,7 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
     # DrawNormals.hlsl:91: view-space normal from the UNBUMPED vertex normal
     normal_v = unit_n @ consts.view[:3, :3]
 
-    return dict(
+    g = dict(
         pos_w=pix_pos_w,
         normal_w=bumped_n,
         normal_v=normal_v,
@@ -436,6 +473,9 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
         shininess_alpha=normal_sample[..., 3:4],  # normal map alpha
         valid=valid,
     )
+    if out_rows is not None and out_rows != H:
+        g = {k: v[:out_rows] for k, v in g.items()}
+    return g
 
 
 # ---------------------------------------------------------------------------
@@ -473,7 +513,7 @@ def ssao_pass(scene: DeviceScene, consts: FrameConstants, cfg: RenderConfig,
     n_half, d_half = ssao_inputs_half(cfg, normal_v, depth)
     access = ssao_ops.ssao_occlusion(
         n_half, d_half, consts.proj, consts.inv_proj,
-        scene.ssao_offsets, scene.ssao_random_tex)
+        scene.ssao_offsets, random_field=scene.ssao_random_field)
     return ssao_blur(scene, consts, cfg, access, n_half, d_half)
 
 
@@ -564,7 +604,11 @@ def lighting_pass(scene: DeviceScene, consts: FrameConstants,
         ray = far_w - consts.eye_pos
         valid3 = g["valid"][..., None]
         cube_dir = jnp.where(valid3, r, ray)
-        cube_col = sampling.sample_cubemap(scene.cubemap, cube_dir)[..., :3]
+        if cfg.procedural_sky:
+            cube_col = sampling.procedural_sky_color(cube_dir)
+        else:
+            cube_col = sampling.sample_cubemap(scene.cubemap,
+                                               cube_dir)[..., :3]
         fres = shading.schlick_fresnel(fresnel_r0, normal, r)
         lit = jnp.where(valid3, lit + shininess * fres * cube_col, cube_col)
 
@@ -617,10 +661,10 @@ def capacity_requirements(scene: DeviceScene, consts: FrameConstants,
     S = cfg.shadow_map_size
     C = cfg.num_cascades
     shadow_pairs = jnp.int32(0)
+    tri_world = shadow_tri_world(scene.shadow, consts.shadow_visibility)
     for c in range(C):
-        clip = shadow_clip(scene.shadow, consts.shadow_visibility,
-                           consts.cascade_view_projs[c])
-        t = rz.setup_triangles(clip, scene.shadow.indices, S, S)
+        t = rz.setup_tri_verts(tri_world @ consts.cascade_view_projs[c],
+                               None, S, S)
         sh_th = 32 if cfg.use_pallas else rz.TILE_H
         _, _, bw, bh, _, _ = rz._tile_bbox(t, S, S, sh_th, rz.TILE_W)
         shadow_pairs = shadow_pairs + (bw * bh).astype(jnp.int32).sum()

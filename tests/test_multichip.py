@@ -64,13 +64,13 @@ def _compare_sharded(cfg, r, n_dev):
             r.device_scene, consts))
 
     assert multi.shape == single.shape
-    # Band rendering translates screen coordinates per device, which changes
-    # edge-function fp rounding: coverage at triangle silhouette edges can
-    # flip (sub-pixel). Interior shading (incl. SSAO, which is band-exact)
-    # matches; only edge pixels may show visible differences.
+    # Band rendering rasterizes each device's tile rows with GLOBAL tile
+    # anchors (identical fp math to single-chip) and resolves with a halo
+    # row for seam derivatives, so the sharded frame is bit-exact up to
+    # reduction-order noise.
     diff = np.abs(multi - single).max(axis=-1)
     visible = diff > 0.02
-    assert visible.mean() < 0.01, f"visible mismatch {visible.mean():.4f}"
+    assert visible.mean() < 1e-3, f"visible mismatch {visible.mean():.4f}"
 
 
 @pytest.mark.slow

@@ -43,6 +43,10 @@ class RenderConfig:
     # two textures while covering an 8:1 footprint (see sample_pair_aniso)
     aniso_probes: int = 4
     use_pallas: bool = True  # Pallas raster kernel (TPU) vs pure-XLA path
+    # Pallas PCF kernel (uniform-group early-out). Off by default: measured
+    # 2.2x slower than the XLA windowed PCF on v5e (346 vs 157 ms staged,
+    # experiments/subprof2.py) — kept for further kernel iteration.
+    pcf_pallas: bool = False
     # run Pallas kernels in interpreter mode (CPU tests of the kernel path)
     pallas_interpret: bool = False
     # debug views: None | "shadow_cascade3" (the reference's ShadowDebug.hlsl

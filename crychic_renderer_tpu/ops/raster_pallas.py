@@ -85,37 +85,17 @@ def tri_records(tris: rz.ScreenTris, xrange=None) -> jnp.ndarray:
 TILES_PER_PROG = 16  # amortizes per-program overhead + enlarges output DMA
 
 
-def _raster_kernel(starts_ref, counts_ref, records_hbm, depth_ref,
-                   *rest, tile_h: int, with_ids: bool,
-                   with_xrange: bool = False):
-    if with_ids:
-        tid_ref, rec_buf, sem = rest
-    else:
-        tid_ref = None
-        rec_buf, sem = rest
-    """Layouts (Mosaic tiles are (8 sublanes, 128 lanes)):
-
-    - records block (16, TRI_BLOCK) transposed once per block to
-      (TRI_BLOCK, 16): triangles on sublanes;
-    - E / z matrices (TRI_BLOCK, P): triangles on sublanes, the tile's
-      P=1024 pixels on lanes — all compact native layouts;
-    - per-tile results (1, P) rows written into a (TILES_PER_PROG, P)
-      output block. (N, 1) column layouts are avoided everywhere: Mosaic
-      pads the minor dim to 128 lanes, inflating memory and compute 128x.
-    """
-    i = pl.program_id(0)
-
+def _plane_matrix(tile_h: int):
+    """Q (16, 4P) f32: Q[k, j*P + p] = the factor multiplying record row k
+    for plane j at tile-local pixel p — planes j=0,1,2 are the edges (rows
+    A=j, B=3+j, C=6+j), j=3 is depth (rows 9, 10, 11). Built ONCE in XLA
+    and passed to the kernel with a constant index_map, so the Pallas
+    pipeline keeps it VMEM-resident across all grid programs (building it
+    in-kernel re-materialized ~P*64 floats per program)."""
     P = tile_h * TILE_W
-    # tile-local pixel centers in flat (1, P) rows (row-major in the tile)
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     px = (pidx % TILE_W).astype(jnp.float32) + 0.5
     py = (pidx // TILE_W).astype(jnp.float32) + 0.5
-    sub = jax.lax.broadcasted_iota(jnp.int32, (TRI_BLOCK, 1), 0)
-
-    # Plane-evaluation matrix: E/z for all tris of a block in ONE MXU dot.
-    # Q[k, j*P + p] = the factor multiplying record row k for plane j at
-    # pixel p: planes j=0,1,2 are the edges (rows A=j, B=3+j, C=6+j),
-    # j=3 is depth (rows 9, 10, 11).
     zero = jnp.zeros((1, P), jnp.float32)
     one = jnp.ones((1, P), jnp.float32)
     rows = []
@@ -132,90 +112,134 @@ def _raster_kernel(starts_ref, counts_ref, records_hbm, depth_ref,
             else:
                 segs.append(zero)
         rows.append(jnp.concatenate(segs, axis=1))
-    Q = jnp.concatenate(rows, axis=0)  # (16, 4P)
+    return jnp.concatenate(rows, axis=0)  # (16, 4P)
+
+
+def _raster_kernel(starts_ref, counts_ref, records_hbm, q_ref, depth_ref,
+                   *rest, tile_h: int, with_ids: bool,
+                   with_xrange: bool = False):
+    """Flat-streaming rasterizer (layouts: Mosaic tiles are (8, 128)).
+
+    Each program owns TILES_PER_PROG consecutive tiles. Their pair runs
+    are CONTIGUOUS in the sorted pair array, so the program streams its
+    whole range [starts[t0], end[t0+TPP-1]) as one double-buffered block
+    sequence — DMA latency is hidden across tile boundaries and boundary
+    blocks are processed once (the round-1 kernel restarted the stream per
+    tile: with ~60 pairs/tile the warmup DMA latency and the per-block
+    (TB, 4P) work were paid per TILE, dominating the pass). Each block's
+    plane evaluations are demultiplexed to the (<= a few) tiles it spans
+    by masked min into a (TILES_PER_PROG, P) VMEM accumulator; records are
+    tile-anchored so every row is valid on its OWN tile's local grid.
+    """
+    if with_ids:
+        tid_ref = rest[0]
+        acc_z, acc_id, rec_buf, sem = rest[1:]
+    else:
+        tid_ref = None
+        acc_id = None
+        acc_z, rec_buf, sem = rest
+
+    i = pl.program_id(0)
+    P = tile_h * TILE_W
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (pidx % TILE_W).astype(jnp.float32) + 0.5
+    sub = jax.lax.broadcasted_iota(jnp.int32, (TRI_BLOCK, 1), 0)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
     e_id = (row_iota == 12).astype(jnp.float32)
     e_xlo = (row_iota == 13).astype(jnp.float32)
     e_xhi = (row_iota == 14).astype(jnp.float32)
+    Q = q_ref[...]
 
-    for t in range(TILES_PER_PROG):
-        tile = i * TILES_PER_PROG + t
-        start = starts_ref[tile]  # absolute pair index (UNPADDED runs)
-        count = counts_ref[tile]
-        first_blk = start // TRI_BLOCK
-        off = start - first_blk * TRI_BLOCK
-        nblk = jax.lax.select(count > 0,
-                              pl.cdiv(off + count, TRI_BLOCK), 0)
+    base = i * TILES_PER_PROG
+    s0 = starts_ref[base]
+    pend = (starts_ref[base + TILES_PER_PROG - 1]
+            + counts_ref[base + TILES_PER_PROG - 1])
+    first_blk = s0 // TRI_BLOCK
+    nblk = jax.lax.select(pend > first_blk * TRI_BLOCK,
+                          pl.cdiv(pend - first_blk * TRI_BLOCK, TRI_BLOCK),
+                          0)
 
-        def dma(slot, b, first_blk=first_blk):
-            # fetch the 128-aligned block window covering the run; rows
-            # outside [off, off+count) are masked in the body
-            return pltpu.make_async_copy(
-                records_hbm.at[:, first_blk + b, :],
-                rec_buf.at[slot],
-                sem.at[slot],
-            )
+    acc_z[...] = jnp.full((TILES_PER_PROG, P), 1.0, jnp.float32)
+    if with_ids:
+        acc_id[...] = jnp.full((TILES_PER_PROG, P), ID_NONE, jnp.float32)
 
-        @pl.when(nblk > 0)
+    def dma(slot, b):
+        return pltpu.make_async_copy(
+            records_hbm.at[:, first_blk + b, :],
+            rec_buf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(nblk > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(b, carry):
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < nblk)
         def _():
-            dma(0, 0).start()
+            dma(jax.lax.rem(b + 1, 2), b + 1).start()
 
-        def body(b, carry, count=count, off=off, nblk=nblk, dma=dma):
-            zmin, idbest = carry  # (1, P) each
-            slot = jax.lax.rem(b, 2)
+        dma(slot, b).wait()
+        rec = rec_buf[slot]  # (16, TRI_BLOCK)
 
-            @pl.when(b + 1 < nblk)
-            def _():
-                dma(jax.lax.rem(b + 1, 2), b + 1).start()
-
-            dma(slot, b).wait()
-            rec = rec_buf[slot]  # (16, TRI_BLOCK)
-
-            # window masking: rows outside this tile's run are neighbors'
-            g = b * TRI_BLOCK + sub
-            valid = (g >= off) & (g < off + count)  # (TB, 1)
-
-            # all 3 edge functions + the depth plane in one f32 matmul
-            E_all = jax.lax.dot_general(
-                rec, Q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)  # (TB, 4P)
-            E0 = E_all[:, 0 * P:1 * P]
-            E1 = E_all[:, 1 * P:2 * P]
-            E2 = E_all[:, 2 * P:3 * P]
-            cov = (jnp.minimum(jnp.minimum(E0, E1), E2) >= 0.0) & valid
-            if with_xrange:
-                # atlas column guard: pixel center x within [xlo, xhi)
-                xlo = jax.lax.dot_general(
-                    rec, e_xlo, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (TB, 1)
-                xhi = jax.lax.dot_general(
-                    rec, e_xhi, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                cov = cov & (px >= xlo) & (px < xhi)
-            z = E_all[:, 3 * P:4 * P]
-            z = jnp.where(cov & (z >= 0.0) & (z <= 1.0), z, jnp.inf)
-            zb = jnp.min(z, axis=0, keepdims=True)  # (1, P)
-            if with_ids:
-                ids_col = jax.lax.dot_general(
-                    rec, e_id, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (TB, 1)
-                ids = jnp.where(z == zb, ids_col, jnp.inf)
-                idb = jnp.min(ids, axis=0, keepdims=True)
-            better = zb < zmin
-            zmin = jnp.where(better, zb, zmin)
-            if with_ids:
-                idbest = jnp.where(better, idb, idbest)
-            return zmin, idbest
-
-        z0 = jnp.full((1, P), 1.0, dtype=jnp.float32)
-        id0 = jnp.full((1, P), ID_NONE, dtype=jnp.float32)
-        zmin, idbest = jax.lax.fori_loop(0, nblk, body, (z0, id0))
-
-        depth_ref[t, :] = zmin[0]
+        # all 3 edge functions + the depth plane in one f32 matmul
+        E_all = jax.lax.dot_general(
+            rec, Q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (TB, 4P)
+        E0 = E_all[:, 0 * P:1 * P]
+        E1 = E_all[:, 1 * P:2 * P]
+        E2 = E_all[:, 2 * P:3 * P]
+        cov = jnp.minimum(jnp.minimum(E0, E1), E2) >= 0.0
+        if with_xrange:
+            # atlas column guard: pixel center x within [xlo, xhi)
+            xlo = jax.lax.dot_general(
+                rec, e_xlo, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (TB, 1)
+            xhi = jax.lax.dot_general(
+                rec, e_xhi, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            cov = cov & (px >= xlo) & (px < xhi)
+        z = E_all[:, 3 * P:4 * P]
+        z = jnp.where(cov & (z >= 0.0) & (z <= 1.0), z, jnp.inf)
         if with_ids:
-            tid_ref[t, :] = jnp.where(idbest < ID_NONE, idbest,
-                                      -1.0)[0].astype(jnp.int32)
+            ids_col = jax.lax.dot_general(
+                rec, e_id, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (TB, 1)
+
+        # demux the block's rows to the tiles they belong to
+        g = (first_blk + b) * TRI_BLOCK + sub  # (TB, 1) global pair index
+        blo = (first_blk + b) * TRI_BLOCK
+        bhi = blo + TRI_BLOCK
+        for t in range(TILES_PER_PROG):
+            s_t = starts_ref[base + t]
+            c_t = counts_ref[base + t]
+            e_t = s_t + c_t
+
+            @pl.when((s_t < bhi) & (e_t > blo) & (c_t > 0))
+            def _(t=t, s_t=s_t, e_t=e_t):
+                m = (g >= s_t) & (g < e_t)
+                zt = jnp.where(m, z, jnp.inf)
+                zb = jnp.min(zt, axis=0, keepdims=True)  # (1, P)
+                prev = acc_z[t:t + 1, :]
+                better = zb < prev
+                acc_z[t:t + 1, :] = jnp.where(better, zb, prev)
+                if with_ids:
+                    ids = jnp.where(zt == zb, ids_col, jnp.inf)
+                    idb = jnp.min(ids, axis=0, keepdims=True)
+                    prev_id = acc_id[t:t + 1, :]
+                    acc_id[t:t + 1, :] = jnp.where(better, idb, prev_id)
+
+        return carry
+
+    jax.lax.fori_loop(0, nblk, body, 0)
+
+    depth_ref[...] = acc_z[...]
+    if with_ids:
+        idv = acc_id[...]
+        tid_ref[...] = jnp.where(idv < ID_NONE, idv, -1.0).astype(jnp.int32)
 
 
 def build_records(tris: rz.ScreenTris, bins: rz.Bins, ntx: int,
@@ -296,12 +320,15 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
         starts_g = jax.lax.dynamic_slice_in_dim(bins.starts, off, grid_tiles)
         counts_g = jax.lax.dynamic_slice_in_dim(bins.counts, off, grid_tiles)
 
-    # pad the tile tables to a multiple of TILES_PER_PROG (extra tiles have
-    # count 0 and cost one scalar read each)
+    # pad the tile tables to a multiple of TILES_PER_PROG. Pad starts carry
+    # the total end-of-pairs position so a program's stream range
+    # [starts[t0], starts[tN]+counts[tN]) stays correct when its tail tiles
+    # are padding (counts 0).
     num_progs = -(-grid_tiles // TILES_PER_PROG)
     pad_tiles = num_progs * TILES_PER_PROG - grid_tiles
     if pad_tiles:
-        starts = jnp.pad(starts_g, (0, pad_tiles))
+        starts = jnp.concatenate(
+            [starts_g, jnp.full((pad_tiles,), bins.num_valid, jnp.int32)])
         counts = jnp.pad(counts_g, (0, pad_tiles))
     else:
         starts = starts_g
@@ -319,22 +346,31 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
         out_shape.append(jax.ShapeDtypeStruct(
             (num_progs * TILES_PER_PROG, P), jnp.int32))
         out_specs.append(out_spec)
+    scratch = [pltpu.VMEM((TILES_PER_PROG, P), jnp.float32)]
+    if with_ids:
+        scratch.append(pltpu.VMEM((TILES_PER_PROG, P), jnp.float32))
+    scratch += [
+        pltpu.VMEM((2, REC_ROWS, TRI_BLOCK), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_progs,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((2, REC_ROWS, TRI_BLOCK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            # constant index_map: the pipeline keeps Q resident across
+            # programs instead of rebuilding it per program
+            pl.BlockSpec((16, 4 * P), lambda i, *_: (0, 0)),
         ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(starts, counts, records)
+    )(starts, counts, records, _plane_matrix(tile_h))
     depth_flat = outs[0][:grid_tiles]
     tid_flat = outs[1][:grid_tiles] if with_ids else None
     out_rows = nty if num_tile_rows is None else num_tile_rows

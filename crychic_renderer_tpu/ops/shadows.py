@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..models.cascades import CASCADE_RADII
 
@@ -250,8 +252,149 @@ def poisson_pcf_windowed(shadow_maps, cascade, shadow_pos, smap_size: int):
     return (cmp * Wacc).sum(axis=-1) / N_SAMPLE
 
 
+def _pcf_kernel(win_ref, par_ref, out_ref):
+    """Pallas PCF: 16-tap rotated-Poisson tent accumulation over gathered
+    16x16 superwindows, with a UNIFORM-GROUP EARLY-OUT.
+
+    Layout: 8 pixels per iteration on sublanes, their 256 window texels
+    u16-packed across 128 lanes (even texel in the low half-word). Fully
+    lit / fully shadowed 8-pixel groups (the vast majority of a frame —
+    penumbrae are thin) skip the 16-tap tent math entirely: their factor
+    is the common compare value (per-tap tent weights sum to 1, so the
+    weighted average of equal values is that value). Mathematically
+    identical to poisson_pcf_windowed up to fp summation order.
+
+    win_ref: (G, 128) u32; par_ref: (G, 8) f32 rows
+    [dq, fx_base, fy_base, cos, sin, -, -, -]; out_ref: (8, G//8) f32
+    with out[s, l] = factor of pixel 8l + s.
+    """
+    G = win_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def sxsy(f):
+        # flat superwindow decode: f = (dy*2+dx)*64 + iy*8 + ix
+        q = f // 64
+        inner = jax.lax.rem(f, 64)
+        sy = (q // 2) * 8 + inner // 8
+        sx = jax.lax.rem(q, 2) * 8 + jax.lax.rem(inner, 8)
+        return sx.astype(jnp.float32), sy.astype(jnp.float32)
+
+    sxe, sye = sxsy(2 * lane)
+    sxo, syo = sxsy(2 * lane + 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, G // 8), 1)
+
+    def body(i, acc):
+        w = pltpu.bitcast(win_ref[pl.ds(8 * i, 8), :], jnp.int32)
+        par = par_ref[pl.ds(8 * i, 8), :]
+        dq = par[:, 0:1]
+        # (Mosaic can't cast u32->f32; both halves fit int32 after masking)
+        lo = (w & 0xFFFF).astype(jnp.float32)
+        hi = ((w >> 16) & 0xFFFF).astype(jnp.float32)
+        ce = dq <= lo
+        co = dq <= hi
+        lit_all = jnp.logical_and(jnp.all(ce), jnp.all(co))
+        dark_all = jnp.logical_and(jnp.all(~ce), jnp.all(~co))
+
+        def slow():
+            fx = par[:, 1:2]
+            fy = par[:, 2:3]
+            cs = par[:, 3:4]
+            sn = par[:, 4:5]
+            we = jnp.zeros((8, 128), jnp.float32)
+            wo = jnp.zeros((8, 128), jnp.float32)
+            for t in range(N_SAMPLE):
+                pxd, pyd = POISSON_DISK[t]
+                tx = fx + (pxd * cs - pyd * sn) * 2.5
+                ty = fy + (pxd * sn + pyd * cs) * 2.5
+                we = we + (jnp.maximum(1.0 - jnp.abs(sxe - tx), 0.0)
+                           * jnp.maximum(1.0 - jnp.abs(sye - ty), 0.0))
+                wo = wo + (jnp.maximum(1.0 - jnp.abs(sxo - tx), 0.0)
+                           * jnp.maximum(1.0 - jnp.abs(syo - ty), 0.0))
+            s = (ce.astype(jnp.float32) * we
+                 + co.astype(jnp.float32) * wo).sum(axis=1, keepdims=True)
+            return s * jnp.float32(1.0 / N_SAMPLE)
+
+        def fast():
+            return jnp.where(lit_all, 1.0, 0.0) * jnp.ones((8, 1),
+                                                           jnp.float32)
+
+        res = jax.lax.cond(jnp.logical_or(lit_all, dark_all), fast, slow)
+        return jnp.where(col == i, res, acc)
+
+    out_ref[...] = jax.lax.fori_loop(
+        0, G // 8, body, jnp.zeros((8, G // 8), jnp.float32))
+
+
+_PCF_GROUP = 1024  # pixels per kernel program
+
+
+def poisson_pcf_windowed_kernel(swin, cascade, shadow_pos, smap_size: int,
+                                trivial_lit=None, interpret: bool = False):
+    """poisson_pcf_windowed with the tent math in the Pallas kernel above.
+
+    The superwindow GATHER stays in XLA (per-pixel row gathers are not
+    expressible in Mosaic); the kernel consumes the gathered windows.
+    ``trivial_lit``: mask of pixels whose factor is irrelevant or known 1
+    (sky / beyond the last cascade) — their compare is forced uniform so
+    they take the early-out.
+
+    swin must be the (C, S/8, S/8, 128) uint32 u16-packed superwindows.
+    """
+    S = smap_size
+    inv_w = 1.0 / jnp.maximum(shadow_pos[..., 3], 1e-20)
+    uvz = shadow_pos[..., :3] * inv_w[..., None]
+    u, v, depth = uvz[..., 0], uvz[..., 1], uvz[..., 2]
+    cx = u * S - 0.5
+    cy = v * S - 0.5
+    nb = swin.shape[1]
+    x_lo = jnp.floor(cx).astype(jnp.int32) - 3
+    y_lo = jnp.floor(cy).astype(jnp.int32) - 3
+    qx0 = jnp.clip(x_lo >> 3, 0, nb - 1)
+    qy0 = jnp.clip(y_lo >> 3, 0, nb - 1)
+    flat = swin.reshape(-1, swin.shape[-1])
+    idx = (cascade * nb + qy0) * nb + qx0
+    window = flat[idx]  # ONE row gather per pixel (XLA)
+
+    dq = depth * 65535.0 - 0.5
+    if trivial_lit is not None:
+        dq = jnp.where(trivial_lit, -1.0, dq)  # cmp all-true -> early-out
+
+    theta = nrand(uvz[..., :2])
+    c, sn = jnp.cos(theta), jnp.sin(theta)
+    fx_base = cx - (qx0 * 8).astype(jnp.float32)
+    fy_base = cy - (qy0 * 8).astype(jnp.float32)
+    params = jnp.stack([dq, fx_base, fy_base, c, sn], axis=-1)  # (..., 5)
+
+    shape = dq.shape
+    n = int(np.prod(shape))
+    n_pad = -(-n // _PCF_GROUP) * _PCF_GROUP
+    win_flat = window.reshape(n, 128)
+    par_flat = jnp.pad(params.reshape(n, 5), ((0, n_pad - n), (0, 3)),
+                       constant_values=-1.0)
+    win_flat = jnp.pad(win_flat, ((0, n_pad - n), (0, 0)))
+    num_progs = n_pad // _PCF_GROUP
+
+    out = pl.pallas_call(
+        _pcf_kernel,
+        grid=(num_progs,),
+        in_specs=[
+            pl.BlockSpec((_PCF_GROUP, 128), lambda i: (i, 0)),
+            pl.BlockSpec((_PCF_GROUP, 8), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, _PCF_GROUP // 8), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_progs * 8, _PCF_GROUP // 8),
+                                       jnp.float32),
+        interpret=interpret,
+    )(win_flat, par_flat)
+    # out[prog][s, l] = pixel prog*G + 8l + s -> unscramble
+    factor = out.reshape(num_progs, 8, _PCF_GROUP // 8).swapaxes(1, 2)
+    return factor.reshape(-1)[:n].reshape(shape)
+
+
 def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
-                          smap_size: int, deferred_blend_quirk: bool):
+                          smap_size: int, deferred_blend_quirk: bool,
+                          use_kernel: bool = False, interpret: bool = False,
+                          valid_mask=None):
     """Per-pixel cascade select + PCF + blend.
 
     shadow_maps: (4, S, S) depth; shadow_transforms: (4, 4, 4) row-vector
@@ -280,10 +423,22 @@ def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
         return (all_pos * sel).sum(axis=0)
 
     swin = superwindow_maps_u16(shadow_maps)
-    f_c = poisson_pcf_windowed(swin, c, shadow_pos_for(c), smap_size)
     c_next = jnp.minimum(c + 1, 3)
-    f_n = poisson_pcf_windowed(swin, c_next, shadow_pos_for(c_next),
-                               smap_size)
+    if use_kernel:
+        trivial = no_shadow
+        if valid_mask is not None:
+            trivial = trivial | ~valid_mask
+        f_c = poisson_pcf_windowed_kernel(swin, c, shadow_pos_for(c),
+                                          smap_size, trivial_lit=trivial,
+                                          interpret=interpret)
+        f_n = poisson_pcf_windowed_kernel(swin, c_next,
+                                          shadow_pos_for(c_next),
+                                          smap_size, trivial_lit=trivial,
+                                          interpret=interpret)
+    else:
+        f_c = poisson_pcf_windowed(swin, c, shadow_pos_for(c), smap_size)
+        f_n = poisson_pcf_windowed(swin, c_next, shadow_pos_for(c_next),
+                                   smap_size)
 
     if deferred_blend_quirk:
         blend = c < 3

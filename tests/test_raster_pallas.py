@@ -52,3 +52,39 @@ def test_pallas_empty_and_full_tiles():
     assert (d[:, 192:] == 1.0).all()
     # left quarter: covered
     assert (t[:, :32] == 0).mean() > 0.5
+
+
+def test_pcf_kernel_matches_windowed():
+    """The Pallas PCF kernel (uniform-group early-out) must match the XLA
+    windowed PCF, including on fully-lit / fully-shadowed regions that
+    take the early-out."""
+    from crychic_renderer_tpu.ops import shadows as sh
+
+    rng = np.random.default_rng(7)
+    S = 64
+    maps = rng.random((4, S, S), np.float32)
+    maps[:, :24, :] = 1.0  # a fully-lit region (receiver always passes)
+    maps[:, 40:, :] = 0.0  # a fully-shadowed region
+    swin = sh.superwindow_maps_u16(jnp.asarray(maps))
+
+    H, W = 24, 32
+    u = rng.uniform(0.15, 0.85, (H, W)).astype(np.float32)
+    v = rng.uniform(0.15, 0.85, (H, W)).astype(np.float32)
+    d = rng.uniform(0.1, 0.9, (H, W)).astype(np.float32)
+    pos = jnp.asarray(np.stack([u, v, d, np.ones_like(u)], -1))
+    casc = jnp.asarray(rng.integers(0, 4, (H, W)).astype(np.int32))
+
+    f_ref = np.asarray(sh.poisson_pcf_windowed(swin, casc, pos, S))
+    f_k = np.asarray(sh.poisson_pcf_windowed_kernel(swin, casc, pos, S,
+                                                    interpret=True))
+    np.testing.assert_allclose(f_k, f_ref, atol=1e-5)
+
+    # trivial_lit mask forces factor 1 regardless of the window
+    triv = jnp.asarray(rng.random((H, W)) < 0.5)
+    f_t = np.asarray(sh.poisson_pcf_windowed_kernel(
+        swin, casc, pos, S, trivial_lit=triv, interpret=True))
+    # trivial pixels in mixed groups take the slow path: 1.0 up to the
+    # tent-weight fp sum (weights sum to 16 +- eps)
+    np.testing.assert_allclose(f_t[np.asarray(triv)], 1.0, atol=5e-5)
+    np.testing.assert_allclose(f_t[~np.asarray(triv)],
+                               f_ref[~np.asarray(triv)], atol=1e-5)

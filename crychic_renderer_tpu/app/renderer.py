@@ -46,6 +46,8 @@ _TEXTURE_FILES = {
     "checkboard": "checkboard.dds",
     "ice": "ice.dds",
     "grass": "grass.dds",
+    "WireFence": "WireFence.dds",
+    "water1": "water1.dds",
 }
 
 
@@ -138,16 +140,35 @@ def build_pair_pool(scene: Scene, asset_dir=DEFAULT_ASSET_DIR):
     return pool, mat_pair, anim_specs
 
 
+def load_sky_cubemap(path: str) -> np.ndarray:
+    """(6, S, S, 4) float [0,1] faces from a DDS cubemap file, D3D face
+    order — the LoadTextures path for gCubeMap (CRYCHIC.cpp:960 requests
+    snowcube1024.dds, which the reference repo does not ship; any DDS
+    cubemap slots in here)."""
+    from ..io.dds import load_dds
+
+    tex = load_dds(path)
+    if not tex.is_cubemap:
+        raise ValueError(f"{path} is not a cubemap")
+    return np.stack([f[0] for f in tex.faces]).astype(np.float32) / 255.0
+
+
 def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
-                       lights=None, ssao_dims=(540, 960)) -> fr.DeviceScene:
+                       lights=None, ssao_dims=(540, 960),
+                       sky_cubemap_path: str = None) -> fr.DeviceScene:
     if lights is None:
         lights = build_reference_lights()
     pool, mat_pair, anim_specs = build_pair_pool(scene, asset_dir)
     mb = scene.material_bank
-    cubemap = sampling.pack_cubemap(sampling.procedural_sky_cubemap(256))
+    if sky_cubemap_path:
+        cubemap = sampling.pack_cubemap(load_sky_cubemap(sky_cubemap_path))
+    else:
+        cubemap = sampling.pack_cubemap(sampling.procedural_sky_cubemap(256))
     return fr.DeviceScene(
         opaque=fr.DeviceDraw.from_host(scene.opaque),
         shadow=fr.DeviceDraw.from_host(scene.shadow),
+        alpha=(fr.DeviceDraw.from_host(scene.alpha)
+               if scene.alpha is not None else None),
         mat_albedo=jnp.asarray(mb.diffuse_albedo),
         mat_fresnel=jnp.asarray(mb.fresnel_r0),
         mat_roughness=jnp.asarray(mb.roughness),
@@ -176,7 +197,14 @@ class Renderer:
 
     def __init__(self, scene: Scene, cfg: RenderConfig,
                  camera: Camera = None, asset_dir=DEFAULT_ASSET_DIR,
-                 lights=None, auto_capacity: bool = True):
+                 lights=None, auto_capacity: bool = True,
+                 sky_cubemap_path: str = None):
+        if sky_cubemap_path and cfg.procedural_sky:
+            # a file-loaded sky implies sampling it (cfg selects the path
+            # inside the jitted frame)
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, procedural_sky=False)
         self.scene = scene
         if cfg.use_pallas and jax.default_backend() == "cpu":
             # the Mosaic kernel targets TPU; CPU falls back to the XLA path
@@ -189,7 +217,8 @@ class Renderer:
                            else build_reference_lights().direction[0])
         self.device_scene, self.anim_specs = build_device_scene(
             scene, asset_dir, lights,
-            ssao_dims=(self.cfg.ssao_height, self.cfg.ssao_width))
+            ssao_dims=(self.cfg.ssao_height, self.cfg.ssao_width),
+            sky_cubemap_path=sky_cubemap_path)
         self._base_mat_pair = np.asarray(self.device_scene.mat_pair)
         if auto_capacity:
             self._autosize_capacity()
@@ -264,8 +293,11 @@ class Renderer:
 
         opaque_vis = self._visibility(self.scene.opaque)
         shadow_vis = self._visibility(self.scene.shadow)
+        alpha_vis = (jnp.asarray(self._visibility(self.scene.alpha))
+                     if self.scene.alpha is not None else None)
 
         return fr.FrameConstants(
+            alpha_visibility=alpha_vis,
             view=jnp.asarray(view),
             proj=jnp.asarray(proj),
             view_proj=jnp.asarray(view @ proj),

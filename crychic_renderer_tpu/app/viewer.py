@@ -1,0 +1,188 @@
+"""Interactive viewer: the reference's live app loop, terminal-native.
+
+Replicates the input semantics of CRYCHIC::OnKeyboardInput
+(/root/reference/CRYCHIC.cpp:467-483: W/S walk +-10 units/s, A/D strafe)
+and OnMouseMove (:497-513: 0.25 deg per count pitch / rotateY) driven from
+the keyboard, inside the D3DApp::Run message-pump frame loop
+(/root/reference/Common/d3dApp.cpp:72-101) with the 1-second caption stats
+(d3dApp.cpp:598-628).
+
+There is no window system in this environment, so the swapchain is the
+terminal: every frame is (optionally) shown as a truecolor half-block
+image via ANSI escapes, and `p` dumps the current frame to PNG.
+
+Keys: w/a/s/d move, i/k pitch, j/l turn, p screenshot, q quit.
+
+Usage::
+
+    python -m crychic_renderer_tpu.app.viewer --config 4 --small
+    python -m crychic_renderer_tpu.app.viewer --config 1 --script wwjjp \
+        --max-frames 8 --no-draw     # scripted/headless (tests, CI)
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import select
+import sys
+import time
+
+import numpy as np
+
+WALK_SPEED = 10.0        # units/s (CRYCHIC.cpp:470-482)
+TURN_STEP = 32.0 * 0.25  # degrees per key tick ~ 32 mouse counts (:507-512)
+
+
+class _RawKeys:
+    """Non-blocking single-key reads from a tty; no-op elsewhere."""
+
+    def __init__(self, enabled: bool):
+        self.enabled = enabled and sys.stdin.isatty()
+        self._old = None
+
+    def __enter__(self):
+        if self.enabled:
+            import termios
+            import tty
+
+            self._old = termios.tcgetattr(sys.stdin.fileno())
+            tty.setcbreak(sys.stdin.fileno())
+        return self
+
+    def __exit__(self, *exc):
+        if self._old is not None:
+            import termios
+
+            termios.tcsetattr(sys.stdin.fileno(), termios.TCSADRAIN,
+                              self._old)
+
+    def poll(self) -> str:
+        if not self.enabled:
+            return ""
+        keys = []
+        while select.select([sys.stdin], [], [], 0)[0]:
+            keys.append(sys.stdin.read(1))
+        return "".join(keys)
+
+
+def apply_keys(camera, keys: str, dt: float) -> bool:
+    """Drive the camera exactly like the reference's input handlers.
+    Returns False when `q` was pressed."""
+    for k in keys:
+        if k == "w":
+            camera.walk(WALK_SPEED * dt)
+        elif k == "s":
+            camera.walk(-WALK_SPEED * dt)
+        elif k == "a":
+            camera.strafe(-WALK_SPEED * dt)
+        elif k == "d":
+            camera.strafe(WALK_SPEED * dt)
+        elif k == "i":
+            camera.pitch(-np.deg2rad(TURN_STEP))
+        elif k == "k":
+            camera.pitch(np.deg2rad(TURN_STEP))
+        elif k == "j":
+            camera.rotate_y(-np.deg2rad(TURN_STEP))
+        elif k == "l":
+            camera.rotate_y(np.deg2rad(TURN_STEP))
+        elif k == "q":
+            return False
+    camera.update_view_matrix()
+    return True
+
+
+def ansi_frame(img: np.ndarray, cols: int = 120) -> str:
+    """Truecolor half-block rendering: 2 image rows per text row."""
+    h, w = img.shape[:2]
+    cols = min(cols, w)
+    rows = max(2, int(cols * h / w / 1.0)) & ~1
+    ys = (np.linspace(0, h - 1, rows)).astype(int)
+    xs = (np.linspace(0, w - 1, cols)).astype(int)
+    rgb = (np.clip(img[ys][:, xs, :3], 0, 1) * 255).astype(int)
+    out = []
+    for r in range(0, rows - 1, 2):
+        line = []
+        for c in range(cols):
+            tr, tg, tb = rgb[r, c]
+            br, bg, bb = rgb[r + 1, c]
+            line.append(f"\x1b[38;2;{tr};{tg};{tb}m"
+                        f"\x1b[48;2;{br};{bg};{bb}m▀")
+        out.append("".join(line) + "\x1b[0m")
+    return "\n".join(out)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=4, choices=[1, 2, 3, 4, 5])
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="performance preset: half-res shadow factor")
+    ap.add_argument("--script", type=str, default=None,
+                    help="scripted key sequence (one key per frame; "
+                    "disables tty input)")
+    ap.add_argument("--max-frames", type=int, default=0,
+                    help="stop after N frames (0 = until q)")
+    ap.add_argument("--no-draw", action="store_true",
+                    help="skip terminal drawing (headless)")
+    ap.add_argument("--cols", type=int, default=120)
+    ap.add_argument("--out", type=str, default="/tmp/viewer_frame.png")
+    ap.add_argument("--backend", type=str, default=None)
+    args = ap.parse_args(argv)
+
+    if args.backend:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = args.backend
+
+    from ..models.scenes_baseline import CONFIGS
+    from .renderer import Renderer, write_png
+    from .stats import FrameStats
+
+    scene, cfg, lights = CONFIGS[args.config]()
+    if args.fast:
+        cfg = dataclasses.replace(cfg, fast_shadow_factor=True)
+    if args.small:
+        cfg = dataclasses.replace(
+            cfg, width=cfg.width // 4, height=cfg.height // 4,
+            shadow_map_size=max(cfg.shadow_map_size // 4, 128),
+            pair_capacity=cfg.pair_capacity // 2,
+            shadow_pair_capacity=cfg.shadow_pair_capacity // 2)
+
+    r = Renderer(scene, cfg, lights=lights)
+    stats = FrameStats()
+    stats.total_instances = scene.opaque.num_instances
+
+    scripted = list(args.script) if args.script is not None else None
+    t0 = time.perf_counter()
+    last = t0
+    frames = 0
+    running = True
+    with _RawKeys(enabled=scripted is None) as raw:
+        while running:
+            now = time.perf_counter()
+            dt, last = now - last, now
+            keys = scripted.pop(0) if scripted else raw.poll()
+            if "p" in keys:
+                write_png(args.out, r.render_np(now - t0))
+                print(f"\nwrote {args.out}", flush=True)
+            running = apply_keys(r.camera, keys, dt)
+
+            img = r.render_np(now - t0)
+            frames += 1
+            stats.visible_instances = int(
+                np.asarray(r.frame_constants(now - t0)
+                           .opaque_visibility).sum())
+            if not args.no_draw:
+                sys.stdout.write("\x1b[H\x1b[2J" + ansi_frame(img, args.cols)
+                                 + "\n")
+            if stats.tick() or (scripted is not None):
+                print(stats.caption(), flush=True)
+            if args.max_frames and frames >= args.max_frames:
+                running = False
+            if scripted is not None and not scripted:
+                running = False
+    return frames
+
+
+if __name__ == "__main__":
+    main()

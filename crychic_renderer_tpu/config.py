@@ -43,10 +43,16 @@ class RenderConfig:
     # two textures while covering an 8:1 footprint (see sample_pair_aniso)
     aniso_probes: int = 4
     use_pallas: bool = True  # Pallas raster kernel (TPU) vs pure-XLA path
-    # Pallas PCF kernel (uniform-group early-out). Off by default: measured
-    # 2.2x slower than the XLA windowed PCF on v5e (346 vs 157 ms staged,
-    # experiments/subprof2.py) — kept for further kernel iteration.
-    pcf_pallas: bool = False
+    # alpha-tested geometry (the reference's ALPHA_TEST shader variants,
+    # Default.hlsl clip(diffuseAlbedo.a - 0.1), Shadows.hlsl:49-65).
+    # TPU design: small-N dense rasterization with k depth peels — the
+    # nearest fragment whose sampled alpha passes wins (see
+    # passes.frame.alpha-test section). Off unless the scene carries an
+    # alpha layer.
+    alpha_test_enabled: bool = False
+    alpha_peels: int = 2          # depth-peel iterations (clip recovery)
+    alpha_clip: float = 0.1       # clip threshold (Default.hlsl:106)
+    alpha_shadow_window: int = 512  # static light-space window per cascade
     # run Pallas kernels in interpreter mode (CPU tests of the kernel path)
     pallas_interpret: bool = False
     # debug views: None | "shadow_cascade3" (the reference's ShadowDebug.hlsl

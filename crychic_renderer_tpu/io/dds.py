@@ -31,12 +31,20 @@ class DDSTexture:
     """A loaded texture: list of mip levels, each (H, W, 4) uint8 RGBA.
 
     For cubemaps ``faces`` holds 6 entries (+X, -X, +Y, -Y, +Z, -Z order,
-    i.e. D3D cubemap face order), each a list of mips.
+    i.e. D3D cubemap face order), each a list of mips. For texture arrays
+    (DX10 header, arraySize > 1 — DDSTextureLoader.cpp:1758-1809)
+    ``layers`` holds one mip list per array slice and ``mips`` aliases
+    layer 0.
     """
 
     mips: list = field(default_factory=list)
     faces: list = field(default_factory=list)
+    layers: list = field(default_factory=list)
     is_cubemap: bool = False
+
+    @property
+    def array_size(self):
+        return max(len(self.layers), 1)
 
     @property
     def width(self):
@@ -86,6 +94,34 @@ def _decode_bc1_numpy(data: bytes, width: int, height: int) -> np.ndarray:
     shifts = (np.arange(16, dtype=np.uint32) * 2)[None, :]
     idx = (bits[:, None] >> shifts) & 0x3  # (N, 16)
     texels = np.take_along_axis(palette, idx[..., None].astype(np.int64), axis=1)
+    img = texels.reshape(bh, bw, 4, 4, 4).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(bh * 4, bw * 4, 4)[:height, :width]
+    return np.clip(img + 0.5, 0, 255).astype(np.uint8)
+
+
+def decode_bc2(data: bytes, width: int, height: int) -> np.ndarray:
+    """DXT3: 16-byte blocks = 8 bytes of explicit 4-bit alpha + a BC1-style
+    color block in the (always) 4-color mode (DDSTextureLoader.cpp maps
+    DXT2/DXT3 to DXGI_FORMAT_BC2_UNORM, :569-574)."""
+    bw, bh = (width + 3) // 4, (height + 3) // 4
+    n = bw * bh
+    raw = np.frombuffer(data, dtype=np.uint8, count=n * 16).reshape(n, 16)
+    # 16 4-bit alphas, little-endian nibbles: texel i -> byte i//2
+    abytes = raw[:, :8]
+    lo = (abytes & 0x0F).astype(np.float32) * (255.0 / 15.0)
+    hi = ((abytes >> 4) & 0x0F).astype(np.float32) * (255.0 / 15.0)
+    alpha = np.stack([lo, hi], axis=-1).reshape(n, 16)
+
+    color = raw[:, 8:].copy().view("<u2").reshape(n, 4)
+    c0, c1 = color[:, 0], color[:, 1]
+    bits = color[:, 2].astype(np.uint32) | (color[:, 3].astype(np.uint32) << 16)
+    p0, p1 = _decode_rgb565(c0), _decode_rgb565(c1)
+    palette = np.stack([p0, p1, (2 * p0 + p1) / 3.0, (p0 + 2 * p1) / 3.0],
+                       axis=1)
+    cshifts = (np.arange(16, dtype=np.uint32) * 2)[None, :]
+    cidx = ((bits[:, None] >> cshifts) & 0x3).astype(np.int64)
+    rgb = np.take_along_axis(palette, cidx[..., None], axis=1)  # (N, 16, 3)
+    texels = np.concatenate([rgb, alpha[..., None]], axis=-1)
     img = texels.reshape(bh, bw, 4, 4, 4).transpose(0, 2, 1, 3, 4)
     img = img.reshape(bh * 4, bw * 4, 4)[:height, :width]
     return np.clip(img + 0.5, 0, 255).astype(np.uint8)
@@ -171,9 +207,28 @@ def _mip_dims(w, h, level):
 def _level_bytes(w, h, fourcc, bpp):
     if fourcc == b"DXT1":
         return ((w + 3) // 4) * ((h + 3) // 4) * 8
-    if fourcc in (b"DXT3", b"DXT5"):
+    if fourcc in (b"DXT2", b"DXT3", b"DXT4", b"DXT5"):
         return ((w + 3) // 4) * ((h + 3) // 4) * 16
     return w * h * (bpp // 8)
+
+
+# DXGI formats the asset pipeline accepts from DX10-header files, mapped
+# onto the legacy decode paths (GetDXGIFormat's inverse for the subset the
+# renderer consumes — DDSTextureLoader.cpp:557-700).
+_DXGI_TO_FOURCC = {
+    71: b"DXT1", 72: b"DXT1",           # BC1_UNORM(_SRGB)
+    74: b"DXT3", 75: b"DXT3",           # BC2_UNORM(_SRGB)
+    77: b"DXT5", 78: b"DXT5",           # BC3_UNORM(_SRGB)
+}
+_DXGI_RGBA_MASKS = {
+    # dxgi id -> (r, g, b, a) masks for the uncompressed 32-bpp path
+    28: (0xFF, 0xFF00, 0xFF0000, 0xFF000000),        # R8G8B8A8_UNORM
+    29: (0xFF, 0xFF00, 0xFF0000, 0xFF000000),        # R8G8B8A8_UNORM_SRGB
+    87: (0xFF0000, 0xFF00, 0xFF, 0xFF000000),        # B8G8R8A8_UNORM
+    91: (0xFF0000, 0xFF00, 0xFF, 0xFF000000),        # B8G8R8A8_UNORM_SRGB
+    88: (0xFF0000, 0xFF00, 0xFF, 0),                 # B8G8R8X8_UNORM
+}
+_DX10_MISC_TEXTURECUBE = 0x4  # D3D11_RESOURCE_MISC_TEXTURECUBE
 
 
 def load_dds(path: str) -> DDSTexture:
@@ -192,16 +247,35 @@ def load_dds(path: str) -> DDSTexture:
     pf = dict(rgb_bit_count=rgb_bit_count, r_mask=r_mask, g_mask=g_mask,
               b_mask=b_mask, a_mask=a_mask)
     offset = 4 + 124
-    if pf_flags & DDPF_FOURCC and fourcc == b"DX10":
-        raise NotImplementedError("DX10 extended header not present in assets")
-
+    array_size = 1
     is_cube = bool(caps2 & DDSCAPS2_CUBEMAP)
-    num_faces = 6 if is_cube else 1
+    if pf_flags & DDPF_FOURCC and fourcc == b"DX10":
+        # DX10 extended header (DDSTextureLoader.cpp DDS_HEADER_DXT10
+        # handling, :1694-1750): dxgiFormat, resourceDimension, miscFlag,
+        # arraySize, miscFlags2
+        dxgi, rdim, misc, array_size, _misc2 = struct.unpack_from(
+            "<5I", data, offset)
+        offset += 20
+        array_size = max(array_size, 1)
+        is_cube = is_cube or bool(misc & _DX10_MISC_TEXTURECUBE)
+        if dxgi in _DXGI_TO_FOURCC:
+            fourcc = _DXGI_TO_FOURCC[dxgi]
+            pf_flags |= DDPF_FOURCC
+        elif dxgi in _DXGI_RGBA_MASKS:
+            r_mask, g_mask, b_mask, a_mask = _DXGI_RGBA_MASKS[dxgi]
+            rgb_bit_count = 32
+            pf = dict(rgb_bit_count=32, r_mask=r_mask, g_mask=g_mask,
+                      b_mask=b_mask, a_mask=a_mask)
+            pf_flags &= ~DDPF_FOURCC
+        else:
+            raise NotImplementedError(f"{path}: DXGI format {dxgi}")
+
+    num_items = array_size * (6 if is_cube else 1)
     compressed = bool(pf_flags & DDPF_FOURCC)
 
     tex = DDSTexture(is_cubemap=is_cube)
     pos = offset
-    for _ in range(num_faces):
+    for _ in range(num_items):
         mips = []
         for level in range(mip_count):
             w, h = _mip_dims(width, height, level)
@@ -211,6 +285,8 @@ def load_dds(path: str) -> DDSTexture:
             pos += nbytes
             if compressed and fourcc == b"DXT1":
                 img = decode_bc1(chunk, w, h)
+            elif compressed and fourcc == b"DXT3":
+                img = decode_bc2(chunk, w, h)
             elif compressed and fourcc == b"DXT5":
                 img = decode_bc3(chunk, w, h)
             elif compressed:
@@ -221,7 +297,9 @@ def load_dds(path: str) -> DDSTexture:
         if is_cube:
             tex.faces.append(mips)
         else:
-            tex.mips = mips
+            tex.layers.append(mips)
+    if not is_cube:
+        tex.mips = tex.layers[0]
     return tex
 
 

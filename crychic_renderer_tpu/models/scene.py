@@ -23,6 +23,7 @@ from ..utils import mathutil as mu
 # Render layers (reference: RenderLayer enum, CRYCHIC.h:44-54).
 LAYER_OPAQUE = "opaque"
 LAYER_OPAQUE_SHADOW = "opaque_shadow"  # shadow-caster duplicates, never culled
+LAYER_ALPHA_TESTED = "alpha_tested"  # RenderLayer::AlphaTested (CRYCHIC.h:47)
 LAYER_DEBUG = "debug"
 LAYER_SKY = "sky"
 
@@ -160,6 +161,9 @@ class Scene:
     shadow: DrawBuffers  # shadow-caster geometry (OpaqueShadow layer)
     texture_names: list = None  # slot -> texture file stem
     frustum_culling: bool = True
+    # AlphaTested layer (clip(a - 0.1) in both the main view and the
+    # shadow passes); None when the scene has no alpha-tested items
+    alpha: DrawBuffers = None
 
 
 def _box_grid_instances(material_mod: int):

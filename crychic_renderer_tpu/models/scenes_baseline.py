@@ -21,8 +21,8 @@ import numpy as np
 
 from . import geometry as gg
 from .materials import Material, MaterialBank, Lights, build_reference_lights
-from .scene import (LAYER_OPAQUE, LAYER_OPAQUE_SHADOW, Scene, make_item,
-                    flatten_items, _box_grid_instances)
+from .scene import (LAYER_OPAQUE, LAYER_OPAQUE_SHADOW, LAYER_ALPHA_TESTED,
+                    Scene, make_item, flatten_items, _box_grid_instances)
 from ..config import RenderConfig
 from ..utils import mathutil as mu
 
@@ -35,9 +35,12 @@ def _scene_from_items(items, materials, texture_names):
     if not shadow_items:
         shadow_items = [i for i in items if i.layer == LAYER_OPAQUE]
     shadow = flatten_items(shadow_items)
+    alpha_items = [i for i in items if i.layer == LAYER_ALPHA_TESTED]
+    alpha = flatten_items(alpha_items) if alpha_items else None
     return Scene(items=items, materials=materials,
                  material_bank=MaterialBank.from_materials(materials),
-                 opaque=opaque, shadow=shadow, texture_names=texture_names)
+                 opaque=opaque, shadow=shadow, alpha=alpha,
+                 texture_names=texture_names)
 
 
 def config1_woodcrate():
@@ -216,6 +219,52 @@ def config5_full_scene(anim_frame: int = 0):
                        pair_capacity=1 << 18, bin_cap=2048,
                        shadow_pair_capacity=1 << 19, shadow_bin_cap=1024)
     return scene, cfg, build_reference_lights()
+
+
+def fence_scene(alpha_test: bool = True):
+    """AlphaTested-layer demo: a WireFence box over a tiled floor (the
+    book's 'Blend/Crate with WireFence' setup; exercises the ALPHA_TEST
+    shader variants of Default.hlsl and Shadows.hlsl — holes in both the
+    main view and the cast shadow). With alpha_test=False the fence
+    renders as an opaque box (for A/B tests)."""
+    mats = [
+        Material("fence", 0, 0, 1, (1, 1, 1, 1), (0.1, 0.1, 0.1), 0.25),
+        Material("floor", 1, 2, 3, (0.9, 0.9, 0.9, 1), (0.2, 0.2, 0.2),
+                 0.7),
+    ]
+    box = gg.create_box(6.0, 6.0, 6.0, 0)
+    grid = gg.create_grid(30.0, 30.0, 40, 40)
+    fence_layer = LAYER_ALPHA_TESTED if alpha_test else LAYER_OPAQUE
+    # two fences in a row: through a front hole the SECOND fence's bars
+    # are only recovered by the second depth peel
+    fence_worlds = np.stack([mu.translation(0.0, 3.0, 0.0),
+                             mu.translation(0.0, 3.0, 6.0)])
+    items = [
+        make_item("fence", box, fence_layer, fence_worlds,
+                  material_indices=0),
+        make_item("floor", grid, LAYER_OPAQUE, material_indices=1),
+        make_item("floor_shadow", grid, LAYER_OPAQUE_SHADOW,
+                  material_indices=1, cullable=False),
+    ] + ([make_item("fence_shadow", box, LAYER_OPAQUE_SHADOW,
+                    fence_worlds, material_indices=0,
+                    cullable=False)] if not alpha_test else [])
+    lights = Lights.empty(ambient=(0.3, 0.3, 0.35, 1.0))
+    # light travels -x/-z: the fence shadow falls toward the camera
+    lights.direction[0] = (-0.4103, -0.8165, -0.4061)
+    lights.strength[0] = (0.9, 0.9, 0.8)
+    lights.num_dir = 1
+    scene = _scene_from_items(items, mats, [
+        "WireFence", "default_nmap", "tile", "tile_nmap",
+        "white1x1", "default_nmap", "sky_cube", "default_nmap",
+        "white1x1", "white1x1"])
+    cfg = RenderConfig(width=480, height=270, deferred=True,
+                       shadows_enabled=True, ssao_enabled=False,
+                       num_dir_lights=1, shadow_map_size=512,
+                       alpha_test_enabled=alpha_test,
+                       alpha_shadow_window=256,
+                       pair_capacity=1 << 16,
+                       shadow_pair_capacity=1 << 16)
+    return scene, cfg, lights
 
 
 CONFIGS = {

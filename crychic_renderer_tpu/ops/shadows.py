@@ -17,10 +17,7 @@ cascades j and j+1.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from ..models.cascades import CASCADE_RADII
 
@@ -135,17 +132,25 @@ def block_shadow_maps(shadow_maps):
 
 def superwindow_maps(shadow_maps):
     """(C, S, S) -> (C, S/8, S/8, 256): for every 8x8 block, the flat
-    16x16 superwindow covering it and its +1 neighbors (edge-clamped).
+    ROW-MAJOR 16x16 superwindow covering it and its +1 neighbors
+    (edge-clamped): flat index f = wy*16 + wx, wy/wx in [0, 16).
     Gather latency is per ROW, so one 1KB-row gather per receiver beats
     four 64-wide block gathers 4x; the 4x duplication is rebuilt per frame
-    with dense ops (cheap) since shadow maps are re-rendered each frame."""
-    b = block_shadow_maps(shadow_maps)  # (C, nb, nb, 64)
-    nb = b.shape[1]
+    with dense ops (cheap) since shadow maps are re-rendered each frame.
+    Row-major (rather than block-quad) ordering makes an 8-row y-window
+    a contiguous lane slice, enabling poisson_pcf_windowed's exact
+    half-window extraction."""
+    C, S, _ = shadow_maps.shape
+    nb = S // 8
+    b = shadow_maps.reshape(C, nb, 8, nb, 8).transpose(0, 1, 3, 2, 4)
     ip = jnp.minimum(jnp.arange(nb) + 1, nb - 1)
-    bx = b[:, :, ip, :]
-    by = b[:, ip, :, :]
-    bxy = by[:, :, ip, :]
-    return jnp.concatenate([b, bx, by, bxy], axis=-1)  # (C, nb, nb, 256)
+    bx = b[:, :, ip]
+    by = b[:, ip]
+    bxy = by[:, :, ip]
+    top = jnp.concatenate([b, bx], axis=-1)    # (C, nb, nb, 8, 16)
+    bot = jnp.concatenate([by, bxy], axis=-1)  # rows 8..15
+    sw = jnp.concatenate([top, bot], axis=-2)  # (C, nb, nb, 16, 16)
+    return sw.reshape(C, nb, nb, 256)  # row-major windows
 
 
 def superwindow_maps_u16(shadow_maps):
@@ -157,17 +162,32 @@ def superwindow_maps_u16(shadow_maps):
     faster). Quantization error is <= 7.7e-6, two orders of magnitude
     below the replicated shadow depth bias (10000/2^24 ~= 6e-4,
     CRYCHIC.cpp:1601), so PCF acceptance is unchanged in practice; the
-    reference itself compares against 24-bit UNORM depth (R24G8)."""
-    sw = superwindow_maps(shadow_maps)  # (C, nb, nb, 256) f32
-    q = jnp.round(jnp.clip(sw, 0.0, 1.0) * 65535.0).astype(jnp.uint32)
-    return q[..., 0::2] | (q[..., 1::2] << 16)
+    reference itself compares against 24-bit UNORM depth (R24G8).
+
+    Quantize + pack runs BEFORE the block shuffle so the transpose moves
+    u32 pairs instead of f32 texels (half the bytes of packing last)."""
+    C, S, _ = shadow_maps.shape
+    nb = S // 8
+    q = jnp.round(jnp.clip(shadow_maps, 0.0, 1.0) * 65535.0
+                  ).astype(jnp.uint32)
+    p = q[..., 0::2] | (q[..., 1::2] << 16)          # (C, S, S/2)
+    b = p.reshape(C, nb, 8, nb, 4).transpose(0, 1, 3, 2, 4)
+    ip = jnp.minimum(jnp.arange(nb) + 1, nb - 1)
+    bx = b[:, :, ip]
+    by = b[:, ip]
+    bxy = by[:, :, ip]
+    top = jnp.concatenate([b, bx], axis=-1)          # (C, nb, nb, 8, 8)
+    bot = jnp.concatenate([by, bxy], axis=-1)
+    sw = jnp.concatenate([top, bot], axis=-2)        # (C, nb, nb, 16, 8)
+    return sw.reshape(C, nb, nb, 128)  # row-major packed windows
 
 
 def _unpack_u16_window(w32):
-    """(..., 128) u32 -> (..., 256) f32 in 16-bit UNORM steps (0..65535)."""
+    """(..., K) u32 -> (..., 2K) f32 in 16-bit UNORM steps (0..65535)."""
     e = (w32 & 0xFFFF).astype(jnp.float32)
     o = (w32 >> 16).astype(jnp.float32)
-    return jnp.stack([e, o], axis=-1).reshape(w32.shape[:-1] + (256,))
+    return jnp.stack([e, o], axis=-1).reshape(
+        w32.shape[:-1] + (2 * w32.shape[-1],))
 
 
 def poisson_pcf_windowed(shadow_maps, cascade, shadow_pos, smap_size: int):
@@ -222,179 +242,75 @@ def poisson_pcf_windowed(shadow_maps, cascade, shadow_pos, smap_size: int):
     shape = u.shape
     flat = swin.reshape(-1, swin.shape[-1])
     idx = (cascade * nb + qy0) * nb + qx0
-    window = _unpack_u16_window(flat[idx])  # ONE row gather per pixel
-    cmp = (depth[..., None] * 65535.0 - 0.5 <= window).astype(jnp.float32)
+    win_p = flat[idx]  # (..., 128) u32 packed — ONE row gather per pixel
 
-    # flat-index decode of the superwindow: f = (dy*2+dx)*64 + iy*8 + ix
-    m = np.arange(256)
-    q, inner = m // 64, m % 64
-    sy_const = jnp.asarray(((q // 2) * 8 + inner // 8).astype(np.float32))
-    sx_const = jnp.asarray(((q % 2) * 8 + inner % 8).astype(np.float32))
+    # Y sub-window extraction, sized to the VPU vreg (128 lanes = 8 rows):
+    # a tap's tent support in y is (cy - (2.5|p|+1), cy + (2.5|p|+1)).
+    # For the 13 disk entries with |p| < 1.2 that is under 4 texels, i.e.
+    # integer rows floor(cy)-3 .. floor(cy)+4 — exactly 8 rows, extracted
+    # as one contiguous 64-lane slice of the row-major packed window
+    # (selected from the 8 block-aligned offsets). The 3 long entries of
+    # the reference's (not-unit-norm, |p| up to 1.234) disk reach 10 rows
+    # and are evaluated on the full 16-row window. Identical results to
+    # the full evaluation at ~1.5x less VPU math (the dominant PCF cost);
+    # a single 10-row (160-lane) extraction loses — trailing dims pad to
+    # whole vregs, so 160 lanes cost the same as 256 (measured).
+    inner = [i for i in range(N_SAMPLE)
+             if float(np.hypot(*POISSON_DISK[i])) < 1.2]
+    outer = [i for i in range(N_SAMPLE) if i not in inner]
+    oy = jnp.clip(y_lo - qy0 * 8, 0, 7)
+    ext = win_p[..., 0:64]
+    for v in range(1, 8):
+        ext = jnp.where((oy == v)[..., None], win_p[..., 8 * v:8 * v + 64],
+                        ext)
+    win8 = _unpack_u16_window(ext)       # (..., 128): 8 rows x 16 x
+    win16 = _unpack_u16_window(win_p)    # (..., 256): full window
+    dq = depth[..., None] * 65535.0 - 0.5
+    cmp8 = (dq <= win8).astype(jnp.float32)
+    cmp16 = (dq <= win16).astype(jnp.float32)
+
+    m8 = np.arange(128)
+    sy8 = jnp.asarray((m8 // 16).astype(np.float32))   # r in [0, 8)
+    sx8 = jnp.asarray((m8 % 16).astype(np.float32))    # wx in [0, 16)
+    m16 = np.arange(256)
+    sy16 = jnp.asarray((m16 // 16).astype(np.float32))
+    sx16 = jnp.asarray((m16 % 16).astype(np.float32))
 
     theta = nrand(uvz[..., :2])
     c, sn = jnp.cos(theta), jnp.sin(theta)
     radius = 5.0 / smap_size / 2.0 * S  # tap offsets in texels (= 2.5)
 
-    # accumulate the 16 taps' bilinear weights over the superwindow; a
-    # bilinear weight is the tent function relu(1 - |grid - tap|), which is
+    # accumulate each tap's bilinear weights over its window; a bilinear
+    # weight is the tent function relu(1 - |grid - tap|), which is
     # branchless (4 VPU ops per axis instead of two selects)
-    Wacc = jnp.zeros(shape + (256,), jnp.float32)
     fx_base = cx - (qx0 * 8).astype(jnp.float32)  # superwindow-local
     fy_base = cy - (qy0 * 8).astype(jnp.float32)
-    for i in range(N_SAMPLE):
+    fy_rel = fy_base - oy.astype(jnp.float32)
+
+    def tap_xy(i):
         pxd, pyd = POISSON_DISK[i]
-        tx = fx_base + (pxd * c - pyd * sn) * radius
-        ty = fy_base + (pxd * sn + pyd * c) * radius
-        wx = jnp.maximum(1.0 - jnp.abs(sx_const - tx[..., None]), 0.0)
-        wy = jnp.maximum(1.0 - jnp.abs(sy_const - ty[..., None]), 0.0)
-        Wacc = Wacc + wy * wx
+        return ((pxd * c - pyd * sn) * radius,
+                (pxd * sn + pyd * c) * radius)
 
-    return (cmp * Wacc).sum(axis=-1) / N_SAMPLE
+    Wacc8 = jnp.zeros(shape + (128,), jnp.float32)
+    for i in inner:
+        dx, dy = tap_xy(i)
+        wx = jnp.maximum(1.0 - jnp.abs(sx8 - (fx_base + dx)[..., None]), 0.0)
+        wy = jnp.maximum(1.0 - jnp.abs(sy8 - (fy_rel + dy)[..., None]), 0.0)
+        Wacc8 = Wacc8 + wy * wx
+    Wacc16 = jnp.zeros(shape + (256,), jnp.float32)
+    for i in outer:
+        dx, dy = tap_xy(i)
+        wx = jnp.maximum(1.0 - jnp.abs(sx16 - (fx_base + dx)[..., None]), 0.0)
+        wy = jnp.maximum(1.0 - jnp.abs(sy16 - (fy_base + dy)[..., None]), 0.0)
+        Wacc16 = Wacc16 + wy * wx
 
-
-def _pcf_kernel(win_ref, par_ref, out_ref):
-    """Pallas PCF: 16-tap rotated-Poisson tent accumulation over gathered
-    16x16 superwindows, with a UNIFORM-GROUP EARLY-OUT.
-
-    Layout: 8 pixels per iteration on sublanes, their 256 window texels
-    u16-packed across 128 lanes (even texel in the low half-word). Fully
-    lit / fully shadowed 8-pixel groups (the vast majority of a frame —
-    penumbrae are thin) skip the 16-tap tent math entirely: their factor
-    is the common compare value (per-tap tent weights sum to 1, so the
-    weighted average of equal values is that value). Mathematically
-    identical to poisson_pcf_windowed up to fp summation order.
-
-    win_ref: (G, 128) u32; par_ref: (G, 8) f32 rows
-    [dq, fx_base, fy_base, cos, sin, -, -, -]; out_ref: (8, G//8) f32
-    with out[s, l] = factor of pixel 8l + s.
-    """
-    G = win_ref.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-
-    def sxsy(f):
-        # flat superwindow decode: f = (dy*2+dx)*64 + iy*8 + ix
-        q = f // 64
-        inner = jax.lax.rem(f, 64)
-        sy = (q // 2) * 8 + inner // 8
-        sx = jax.lax.rem(q, 2) * 8 + jax.lax.rem(inner, 8)
-        return sx.astype(jnp.float32), sy.astype(jnp.float32)
-
-    sxe, sye = sxsy(2 * lane)
-    sxo, syo = sxsy(2 * lane + 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (8, G // 8), 1)
-
-    def body(i, acc):
-        w = pltpu.bitcast(win_ref[pl.ds(8 * i, 8), :], jnp.int32)
-        par = par_ref[pl.ds(8 * i, 8), :]
-        dq = par[:, 0:1]
-        # (Mosaic can't cast u32->f32; both halves fit int32 after masking)
-        lo = (w & 0xFFFF).astype(jnp.float32)
-        hi = ((w >> 16) & 0xFFFF).astype(jnp.float32)
-        ce = dq <= lo
-        co = dq <= hi
-        lit_all = jnp.logical_and(jnp.all(ce), jnp.all(co))
-        dark_all = jnp.logical_and(jnp.all(~ce), jnp.all(~co))
-
-        def slow():
-            fx = par[:, 1:2]
-            fy = par[:, 2:3]
-            cs = par[:, 3:4]
-            sn = par[:, 4:5]
-            we = jnp.zeros((8, 128), jnp.float32)
-            wo = jnp.zeros((8, 128), jnp.float32)
-            for t in range(N_SAMPLE):
-                pxd, pyd = POISSON_DISK[t]
-                tx = fx + (pxd * cs - pyd * sn) * 2.5
-                ty = fy + (pxd * sn + pyd * cs) * 2.5
-                we = we + (jnp.maximum(1.0 - jnp.abs(sxe - tx), 0.0)
-                           * jnp.maximum(1.0 - jnp.abs(sye - ty), 0.0))
-                wo = wo + (jnp.maximum(1.0 - jnp.abs(sxo - tx), 0.0)
-                           * jnp.maximum(1.0 - jnp.abs(syo - ty), 0.0))
-            s = (ce.astype(jnp.float32) * we
-                 + co.astype(jnp.float32) * wo).sum(axis=1, keepdims=True)
-            return s * jnp.float32(1.0 / N_SAMPLE)
-
-        def fast():
-            return jnp.where(lit_all, 1.0, 0.0) * jnp.ones((8, 1),
-                                                           jnp.float32)
-
-        res = jax.lax.cond(jnp.logical_or(lit_all, dark_all), fast, slow)
-        return jnp.where(col == i, res, acc)
-
-    out_ref[...] = jax.lax.fori_loop(
-        0, G // 8, body, jnp.zeros((8, G // 8), jnp.float32))
-
-
-_PCF_GROUP = 1024  # pixels per kernel program
-
-
-def poisson_pcf_windowed_kernel(swin, cascade, shadow_pos, smap_size: int,
-                                trivial_lit=None, interpret: bool = False):
-    """poisson_pcf_windowed with the tent math in the Pallas kernel above.
-
-    The superwindow GATHER stays in XLA (per-pixel row gathers are not
-    expressible in Mosaic); the kernel consumes the gathered windows.
-    ``trivial_lit``: mask of pixels whose factor is irrelevant or known 1
-    (sky / beyond the last cascade) — their compare is forced uniform so
-    they take the early-out.
-
-    swin must be the (C, S/8, S/8, 128) uint32 u16-packed superwindows.
-    """
-    S = smap_size
-    inv_w = 1.0 / jnp.maximum(shadow_pos[..., 3], 1e-20)
-    uvz = shadow_pos[..., :3] * inv_w[..., None]
-    u, v, depth = uvz[..., 0], uvz[..., 1], uvz[..., 2]
-    cx = u * S - 0.5
-    cy = v * S - 0.5
-    nb = swin.shape[1]
-    x_lo = jnp.floor(cx).astype(jnp.int32) - 3
-    y_lo = jnp.floor(cy).astype(jnp.int32) - 3
-    qx0 = jnp.clip(x_lo >> 3, 0, nb - 1)
-    qy0 = jnp.clip(y_lo >> 3, 0, nb - 1)
-    flat = swin.reshape(-1, swin.shape[-1])
-    idx = (cascade * nb + qy0) * nb + qx0
-    window = flat[idx]  # ONE row gather per pixel (XLA)
-
-    dq = depth * 65535.0 - 0.5
-    if trivial_lit is not None:
-        dq = jnp.where(trivial_lit, -1.0, dq)  # cmp all-true -> early-out
-
-    theta = nrand(uvz[..., :2])
-    c, sn = jnp.cos(theta), jnp.sin(theta)
-    fx_base = cx - (qx0 * 8).astype(jnp.float32)
-    fy_base = cy - (qy0 * 8).astype(jnp.float32)
-    params = jnp.stack([dq, fx_base, fy_base, c, sn], axis=-1)  # (..., 5)
-
-    shape = dq.shape
-    n = int(np.prod(shape))
-    n_pad = -(-n // _PCF_GROUP) * _PCF_GROUP
-    win_flat = window.reshape(n, 128)
-    par_flat = jnp.pad(params.reshape(n, 5), ((0, n_pad - n), (0, 3)),
-                       constant_values=-1.0)
-    win_flat = jnp.pad(win_flat, ((0, n_pad - n), (0, 0)))
-    num_progs = n_pad // _PCF_GROUP
-
-    out = pl.pallas_call(
-        _pcf_kernel,
-        grid=(num_progs,),
-        in_specs=[
-            pl.BlockSpec((_PCF_GROUP, 128), lambda i: (i, 0)),
-            pl.BlockSpec((_PCF_GROUP, 8), lambda i: (i, 0)),
-        ],
-        out_specs=pl.BlockSpec((8, _PCF_GROUP // 8), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((num_progs * 8, _PCF_GROUP // 8),
-                                       jnp.float32),
-        interpret=interpret,
-    )(win_flat, par_flat)
-    # out[prog][s, l] = pixel prog*G + 8l + s -> unscramble
-    factor = out.reshape(num_progs, 8, _PCF_GROUP // 8).swapaxes(1, 2)
-    return factor.reshape(-1)[:n].reshape(shape)
+    return ((cmp8 * Wacc8).sum(axis=-1)
+            + (cmp16 * Wacc16).sum(axis=-1)) / N_SAMPLE
 
 
 def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
-                          smap_size: int, deferred_blend_quirk: bool,
-                          use_kernel: bool = False, interpret: bool = False,
-                          valid_mask=None):
+                          smap_size: int, deferred_blend_quirk: bool):
     """Per-pixel cascade select + PCF + blend.
 
     shadow_maps: (4, S, S) depth; shadow_transforms: (4, 4, 4) row-vector
@@ -424,21 +340,9 @@ def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
 
     swin = superwindow_maps_u16(shadow_maps)
     c_next = jnp.minimum(c + 1, 3)
-    if use_kernel:
-        trivial = no_shadow
-        if valid_mask is not None:
-            trivial = trivial | ~valid_mask
-        f_c = poisson_pcf_windowed_kernel(swin, c, shadow_pos_for(c),
-                                          smap_size, trivial_lit=trivial,
-                                          interpret=interpret)
-        f_n = poisson_pcf_windowed_kernel(swin, c_next,
-                                          shadow_pos_for(c_next),
-                                          smap_size, trivial_lit=trivial,
-                                          interpret=interpret)
-    else:
-        f_c = poisson_pcf_windowed(swin, c, shadow_pos_for(c), smap_size)
-        f_n = poisson_pcf_windowed(swin, c_next, shadow_pos_for(c_next),
-                                   smap_size)
+    f_c = poisson_pcf_windowed(swin, c, shadow_pos_for(c), smap_size)
+    f_n = poisson_pcf_windowed(swin, c_next, shadow_pos_for(c_next),
+                               smap_size)
 
     if deferred_blend_quirk:
         blend = c < 3

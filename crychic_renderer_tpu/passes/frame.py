@@ -116,6 +116,8 @@ class DeviceScene:
     # MSVC-rand texture (frame-constant indices -> zero gathers per frame)
     ssao_random_field: jnp.ndarray  # (h, w, 3)
     ssao_blur_weights: jnp.ndarray  # (11,)
+    # AlphaTested layer geometry (None when the scene has none)
+    alpha: DeviceDraw = None
     n_big_pairs: int = 0  # static: count of big-class pairs in the pool
 
     def tree_flatten(self):
@@ -147,6 +149,7 @@ class FrameConstants:
     shadow_transforms: jnp.ndarray  # (4, 4, 4) world -> shadow uv/z
     opaque_visibility: jnp.ndarray  # (D_opaque,) f32 1/0 cull mask
     shadow_visibility: jnp.ndarray  # (D_shadow,) f32
+    alpha_visibility: jnp.ndarray = None  # (D_alpha,) f32, scenes with AT
     total_time: jnp.ndarray = dataclasses.field(
         default_factory=lambda: jnp.float32(0.0))
 
@@ -425,7 +428,12 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
           + 0.5)[:, None].repeat(W, 1)
     b = rz.barycentrics_at(xy, px, py)  # (H, W, 3) screen-space
     wgt = b * inv_w
-    wgt = wgt / jnp.maximum(wgt.sum(-1, keepdims=True), 1e-20)
+    den = wgt.sum(-1, keepdims=True)
+    # sign-preserving guard: extrapolated barycentrics (a pixel whose
+    # record is a fallback/mismatched triangle) can sum NEGATIVE;
+    # clamping to +1e-20 would flip the sign and explode uv to ~1e19,
+    # which leaks into neighbors through the uv derivatives
+    wgt = wgt / jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
     w0 = wgt[..., 0:1]
     w1 = wgt[..., 1:2]
     w2 = wgt[..., 2:3]
@@ -558,9 +566,6 @@ def lighting_pass(scene: DeviceScene, consts: FrameConstants,
                * albedo)
 
     if cfg.shadows_enabled:
-        # optional Pallas PCF kernel (uniform-group early-out); sky /
-        # no-shadow pixels are flagged trivial so they take the early-out
-        kern = dict(use_kernel=cfg.pcf_pallas, interpret=cfg.pallas_interpret)
         if cfg.fast_shadow_factor:
             # performance mode: evaluate the (smooth) PCF factor on a
             # half-res grid and upsample — the 16-tap filter is already a
@@ -568,14 +573,12 @@ def lighting_pass(scene: DeviceScene, consts: FrameConstants,
             sf_half = shadows.cascade_shadow_factor(
                 shadow_maps, consts.shadow_transforms,
                 pos_w[::2, ::2], consts.eye_pos,
-                cfg.shadow_map_size, deferred_blend_quirk=cfg.deferred,
-                valid_mask=g["valid"][::2, ::2], **kern)
+                cfg.shadow_map_size, deferred_blend_quirk=cfg.deferred)
             sf = _upsample_bilinear(sf_half, H, W)
         else:
             sf = shadows.cascade_shadow_factor(
                 shadow_maps, consts.shadow_transforms, pos_w, consts.eye_pos,
-                cfg.shadow_map_size, deferred_blend_quirk=cfg.deferred,
-                valid_mask=g["valid"], **kern)
+                cfg.shadow_map_size, deferred_blend_quirk=cfg.deferred)
         sf = sf[..., None]
     else:
         sf = jnp.ones_like(roughness)
@@ -647,6 +650,193 @@ def main_view_tris(scene: DeviceScene, consts: FrameConstants,
     return tris, tri_attr
 
 
+# ---------------------------------------------------------------------------
+# Alpha-tested layer (the ALPHA_TEST shader variants compiled at
+# CRYCHIC.cpp:1205-1218: Default.hlsl / Shadows.hlsl clip(a - 0.1))
+# ---------------------------------------------------------------------------
+
+def alpha_view_tris(scene: DeviceScene, consts: FrameConstants,
+                    cfg: RenderConfig):
+    """Vertex stage + near clip for the AlphaTested layer (same pipeline
+    as main_view_tris, over scene.alpha)."""
+    pos_w, nrm_w, tan_w, uv, clip = vertex_stage(
+        scene.alpha, consts.alpha_visibility, consts.view_proj,
+        scene.mat_transform)
+    tri_attr = build_tri_attrs(scene.alpha, pos_w, nrm_w, tan_w, uv, clip)
+    tri_attr, tri_valid = clipping.clip_near(
+        tri_attr, jnp.ones(tri_attr.shape[0], bool))
+    tris = rz.setup_tri_verts(tri_attr[..., :4], tri_valid,
+                              cfg.width, cfg.height)
+    return tris, tri_attr
+
+
+def _alpha_peel(tris: rz.ScreenTris, uv_tri, mat_tri, scene: DeviceScene,
+                px, py, n_peels: int, clip_thr: float):
+    """Dense small-N rasterization of alpha-tested triangles with depth
+    peeling: per pixel, the nearest fragment whose sampled alpha passes
+    clip(a - thr).
+
+    A GPU gets this for free (the PS clips before the depth test,
+    Shadows.hlsl:49-65); a visibility-buffer rasterizer cannot, because
+    coverage is decided without textures. The TPU shape of the problem:
+    the AT layer is SMALL (a handful of fences/foliage quads), so an
+    O(T_alpha x pixels) dense edge-function loop on the VPU plus
+    ``n_peels`` rounds of (winner-record gather + one texture row gather)
+    is cheaper and simpler than threading texture fetches through the
+    binned kernel. Fragments behind ``n_peels`` failing layers are
+    dropped (documented approximation; 2 covers every two-sided fence).
+
+    tris: (T,) screen triangles; uv_tri: (T, 3, 2); mat_tri: (T,).
+    px/py: pixel-center coordinate grids (broadcastable to the output).
+    Returns (z, idx): idx -1 where no passing fragment.
+    """
+    A, B, C, area2, top_left = rz._edge_coeffs(tris.xy)
+    inv_a2 = 1.0 / jnp.where(area2 == 0, 1.0, area2)
+    zA = (A * tris.z * inv_a2[:, None]).sum(-1)
+    zB = (B * tris.z * inv_a2[:, None]).sum(-1)
+    zC = (C * tris.z * inv_a2[:, None]).sum(-1)
+    T = tris.xy.shape[0]
+    shape = jnp.broadcast_shapes(px.shape, py.shape)
+    pxb = jnp.broadcast_to(px, shape)
+    pyb = jnp.broadcast_to(py, shape)
+
+    # 16-wide per-triangle record: xy(6) inv_w(3) uv(6) mat(1) — ONE row
+    # gather per pixel per peel recovers the winner's interpolation data
+    rec = jnp.concatenate([
+        tris.xy.reshape(-1, 6), tris.inv_w,
+        uv_tri[:, 0], uv_tri[:, 1], uv_tri[:, 2],
+        mat_tri.astype(jnp.float32)[:, None],
+    ], axis=-1)
+
+    def nearest_above(zfloor):
+        def body(t, carry):
+            zb, ib = carry
+            cov = jnp.ones(shape, bool)
+            for e in range(3):
+                E = A[t, e] * pxb + B[t, e] * pyb + C[t, e]
+                cov &= (E > 0) | ((E == 0) & top_left[t, e])
+            z = zA[t] * pxb + zB[t] * pyb + zC[t]
+            cand = cov & tris.valid[t] & (z >= 0.0) & (z <= 1.0) \
+                & (z > zfloor)
+            better = cand & (z < zb)
+            return (jnp.where(better, z, zb),
+                    jnp.where(better, t, ib))
+        z0 = jnp.full(shape, jnp.inf)
+        i0 = jnp.full(shape, -1, jnp.int32)
+        return jax.lax.fori_loop(0, T, body, (z0, i0))
+
+    res_z = jnp.full(shape, jnp.inf)
+    res_id = jnp.full(shape, -1, jnp.int32)
+    resolved = jnp.zeros(shape, bool)
+    zfloor = jnp.full(shape, -1.0)
+    for _ in range(n_peels):
+        zb, ib = nearest_above(zfloor)
+        r = rec[jnp.maximum(ib, 0)]
+        xy = r[..., :6].reshape(shape + (3, 2))
+        b = rz.barycentrics_at(xy, pxb, pyb)
+        wgt = b * r[..., 6:9]
+        den = wgt.sum(-1, keepdims=True)
+        # sign-preserving guard: extrapolated barycentrics (a pixel whose
+        # record is a fallback/mismatched triangle) can sum NEGATIVE;
+        # clamping to +1e-20 would flip the sign and explode uv to ~1e19,
+        # which leaks into neighbors through the uv derivatives
+        wgt = wgt / jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
+        uv = (wgt[..., 0:1] * r[..., 9:11] + wgt[..., 1:2] * r[..., 11:13]
+              + wgt[..., 2:3] * r[..., 13:15])
+        mat = r[..., 15].astype(jnp.int32)
+        pairidx = _mat_select(scene.mat_pair, mat)
+        duv_x, duv_y = sampling.uv_derivatives(uv)
+        lod = sampling.lod_from_derivatives(duv_x, duv_y)
+        dsample, _ = sampling.sample_pair_trilinear(
+            scene.pair_pool, pairidx, uv, lod)
+        aval = dsample[..., 3] * _mat_select(scene.mat_albedo, mat)[..., 3]
+        passing = (ib >= 0) & (aval - clip_thr >= 0.0)
+        take = (~resolved) & passing
+        res_z = jnp.where(take, zb, res_z)
+        res_id = jnp.where(take, ib, res_id)
+        resolved = resolved | take
+        zfloor = jnp.where(ib >= 0, zb, jnp.inf)
+    return res_z, res_id
+
+
+def alpha_merge_main(scene: DeviceScene, consts: FrameConstants,
+                     cfg: RenderConfig, depth, tid, tris, tri_attr):
+    """Rasterize the AlphaTested layer and merge it into the opaque
+    visibility buffer; AT triangle records are APPENDED to the screen-tri
+    and attribute tables, so resolve_gbuffer shades AT winners through
+    the exact same path (tid indexes the concatenated table)."""
+    H, W = depth.shape
+    a_tris, a_attr = alpha_view_tris(scene, consts, cfg)
+    if cfg.use_pallas:
+        a_tris = a_tris._replace(xy=rp.snap_xy(a_tris.xy))
+    px = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :]
+    py = (jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None]
+    uv_tri = a_attr[:, :, 13:15]
+    mat_tri = a_attr[:, 0, 15]
+    az, aid = _alpha_peel(a_tris, uv_tri, mat_tri, scene, px, py,
+                          cfg.alpha_peels, cfg.alpha_clip)
+    t_base = tris.xy.shape[0]
+    win = (aid >= 0) & (az < depth)
+    depth = jnp.where(win, az, depth)
+    tid = jnp.where(win, t_base + aid, tid)
+    tris = rz.ScreenTris(
+        xy=jnp.concatenate([tris.xy, a_tris.xy]),
+        z=jnp.concatenate([tris.z, a_tris.z]),
+        inv_w=jnp.concatenate([tris.inv_w, a_tris.inv_w]),
+        valid=jnp.concatenate([tris.valid, a_tris.valid]),
+    )
+    tri_attr = jnp.concatenate([tri_attr, a_attr])
+    return depth, tid, tris, tri_attr
+
+
+def alpha_merge_shadow(scene: DeviceScene, consts: FrameConstants,
+                       cfg: RenderConfig, shadow_maps):
+    """Punch the AlphaTested casters into the cascade shadow maps
+    (Shadows.hlsl ALPHA_TEST PS, :49-65): per cascade, depth-peel the AT
+    triangles inside a statically-sized window positioned over the
+    layer's light-space bounding box and min-merge passing fragments."""
+    S = cfg.shadow_map_size
+    Wn = min(cfg.alpha_shadow_window, S)
+    draw = scene.alpha
+    tri_world = shadow_tri_world(draw, consts.alpha_visibility)
+
+    # light-space-independent per-vertex uv (same transform chain as
+    # vertex_stage), gathered to triangles once for all cascades
+    uvh = jnp.concatenate(
+        [draw.uvs, jnp.zeros_like(draw.uvs[..., :1]),
+         jnp.ones_like(draw.uvs[..., :1])], axis=-1)
+    Tm = draw.tex_transforms[draw.vertex_instance]
+    Mm = scene.mat_transform[draw.material_indices[draw.vertex_instance]]
+    uv = jnp.einsum("vi,vij->vj",
+                    jnp.einsum("vi,vij->vj", uvh, Tm), Mm)[:, :2]
+    tri_idx = draw.indices.reshape(-1, 3)
+    uv_tri = uv[tri_idx]
+    mat_tri = draw.material_indices[draw.vertex_instance][tri_idx[:, 0]]
+
+    out = []
+    for c in range(shadow_maps.shape[0]):
+        t = rz.setup_tri_verts(tri_world @ consts.cascade_view_projs[c],
+                               None, S, S)
+        t = _shadow_bias(t)
+        # static window over the layer's light-space bbox
+        vx = jnp.where(t.valid[:, None, None], t.xy, jnp.inf)
+        ox = jnp.clip(jnp.floor(vx[..., 0].min()).astype(jnp.int32) - 1,
+                      0, S - Wn)
+        oy = jnp.clip(jnp.floor(vx[..., 1].min()).astype(jnp.int32) - 1,
+                      0, S - Wn)
+        px = (ox.astype(jnp.float32)
+              + jnp.arange(Wn, dtype=jnp.float32) + 0.5)[None, :]
+        py = (oy.astype(jnp.float32)
+              + jnp.arange(Wn, dtype=jnp.float32) + 0.5)[:, None]
+        az, aid = _alpha_peel(t, uv_tri, mat_tri, scene, px, py,
+                              cfg.alpha_peels, cfg.alpha_clip)
+        window = jax.lax.dynamic_slice(shadow_maps[c], (oy, ox), (Wn, Wn))
+        merged = jnp.where(aid >= 0, jnp.minimum(window, az), window)
+        out.append(jax.lax.dynamic_update_slice(shadow_maps[c], merged,
+                                                (oy, ox)))
+    return jnp.stack(out)
+
+
 def capacity_requirements(scene: DeviceScene, consts: FrameConstants,
                           cfg: RenderConfig):
     """Exact (tile, triangle) pair counts the frame will expand to — the
@@ -704,10 +894,18 @@ def render_frame(scene: DeviceScene, consts: FrameConstants,
         bins = rz.bin_triangles(tris, W, H, cfg.pair_capacity)
         depth, tid = rz.rasterize_binned(tris, bins, W, H, cfg.bin_cap)
 
+    alpha_on = cfg.alpha_test_enabled and scene.alpha is not None
+    if alpha_on:
+        depth, tid, tris, tri_attr = alpha_merge_main(
+            scene, consts, cfg, depth, tid, tris, tri_attr)
+
     g = resolve_gbuffer(scene, consts, cfg, tris, depth, tid, tri_attr)
 
     if cfg.shadows_enabled:
         shadow_maps = render_shadow_maps(scene, consts, cfg)
+        if alpha_on:
+            shadow_maps = alpha_merge_shadow(scene, consts, cfg,
+                                             shadow_maps)
     else:
         shadow_maps = jnp.ones((cfg.num_cascades, 2, 2), jnp.float32)
 

@@ -1,0 +1,38 @@
+"""App-layer tests: interactive viewer loop (scripted/headless)."""
+import numpy as np
+
+
+def test_viewer_scripted_loop(tmp_path):
+    """The viewer's frame loop renders, applies WASD/turn keys with the
+    reference's speeds, and writes screenshots on 'p'."""
+    from crychic_renderer_tpu.app import viewer
+
+    out = str(tmp_path / "shot.png")
+    frames = viewer.main([
+        "--config", "1", "--small", "--script", "wwlp", "--no-draw",
+        "--out", out,
+    ])
+    assert frames == 4
+    import os
+
+    assert os.path.exists(out)
+
+
+def test_apply_keys_reference_semantics():
+    """W walks +10*dt along look; l rotates about world Y (Camera.RotateY);
+    q stops the loop."""
+    from crychic_renderer_tpu.app.viewer import apply_keys, WALK_SPEED
+    from crychic_renderer_tpu.models.camera import Camera
+
+    cam = Camera()
+    cam.set_position(0.0, 2.0, -15.0)
+    cam.set_lens(0.25 * np.pi, 4 / 3, 1.0, 100.0)
+    look0 = cam.look.copy()
+    pos0 = cam.position.copy()
+    assert apply_keys(cam, "w", dt=0.5)
+    np.testing.assert_allclose(cam.position,
+                               pos0 + 0.5 * WALK_SPEED * look0, atol=1e-6)
+    assert apply_keys(cam, "l", dt=0.1)
+    assert not np.allclose(cam.look, look0)
+    assert abs(np.dot(cam.right, cam.up)) < 1e-5  # basis re-orthonormalized
+    assert not apply_keys(cam, "q", dt=0.1)

@@ -14,32 +14,39 @@ def test_dryrun_multichip_entry():
     ge.dryrun_multichip(n)
 
 
-def _small_scene_and_cfg(**cfg_overrides):
+def _small_scene_and_cfg(with_alpha=False, **cfg_overrides):
     from crychic_renderer_tpu.config import RenderConfig
     from crychic_renderer_tpu.app.renderer import Renderer
     from crychic_renderer_tpu.models import geometry as gg
     from crychic_renderer_tpu.models.materials import Material
     from crychic_renderer_tpu.models.scenes_baseline import _scene_from_items
-    from crychic_renderer_tpu.models.scene import LAYER_OPAQUE, make_item
+    from crychic_renderer_tpu.models.scene import (LAYER_OPAQUE,
+                                                   LAYER_ALPHA_TESTED,
+                                                   make_item)
     from crychic_renderer_tpu.utils import mathutil as mu
 
     base = dict(width=256, height=64, shadow_map_size=128,
                 ssao_enabled=True, use_pallas=False,
                 pair_capacity=1 << 16, bin_cap=1024,
                 shadow_pair_capacity=1 << 16, shadow_bin_cap=1024)
+    if with_alpha:
+        base.update(alpha_test_enabled=True, alpha_shadow_window=64)
     base.update(cfg_overrides)
     cfg = RenderConfig(**base)
     # NOTE: bin_cap must exceed the busiest tile's triangle count (the XLA
     # raster path truncates at bin_cap); a fight-free scene keeps the
     # comparison exact.
-    mats = [Material("m0", 0, 0, 1, (1, 1, 1, 1), (0.1, 0.1, 0.1), 0.4)]
+    mats = [Material("m0", 0, 0, 1, (1, 1, 1, 1), (0.1, 0.1, 0.1), 0.4),
+            Material("fence", 1, 2, 3, (1, 1, 1, 1), (0.1, 0.1, 0.1), 0.3)]
     items = [
         make_item("box", gg.create_box(2, 2, 2, 1), LAYER_OPAQUE,
                   mu.translation(0.0, 1.3, 0.0)),
         make_item("grid", gg.create_grid(20, 20, 20, 20), LAYER_OPAQUE),
-    ]
+    ] + ([make_item("fence", gg.create_box(3, 3, 3, 0),
+                    LAYER_ALPHA_TESTED, mu.translation(3.0, 1.5, -2.0),
+                    material_indices=1)] if with_alpha else [])
     scene = _scene_from_items(items, mats, [
-        "bricks2", "bricks2_nmap", "white1x1", "default_nmap",
+        "bricks2", "bricks2_nmap", "WireFence", "default_nmap",
         "white1x1", "default_nmap", "sky_cube", "default_nmap",
         "white1x1", "white1x1"])
     r = Renderer(scene, cfg)
@@ -89,3 +96,11 @@ def test_sharded_pallas_kernel_matches_single():
     r, cfg = _small_scene_and_cfg(use_pallas=True, pallas_interpret=True,
                                   ssao_enabled=False)
     _compare_sharded(cfg, r, 2)
+
+
+@pytest.mark.slow
+def test_sharded_alpha_layer_matches_single():
+    """Band rendering applies the AlphaTested peel + shadow punch with
+    global pixel rows — identical to the single-chip merge."""
+    r, cfg = _small_scene_and_cfg(with_alpha=True)
+    _compare_sharded(cfg, r, 4)

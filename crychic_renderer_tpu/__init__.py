@@ -32,3 +32,16 @@ Layers (bottom-up), mirroring the reference's layer map (SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry correctness: the TPU MXU's DEFAULT matmul precision is one-pass
+# bf16 (8 mantissa bits). Measured on v5e: the vertex world/clip einsums
+# ran with ~4e4x the f32 rounding error (absolute vertex error up to ~2 px)
+# and the raster kernel's triangle-id extraction rounded ids to multiples
+# of 128/256 (experiments/einsum_precision_probe.py, the on-TPU parity
+# sweep). A renderer's transforms are precision-critical end to end, so the
+# package pins full-f32 matmul semantics globally; the FLOP-heavy matmuls
+# (the raster kernels' plane evaluations) already request HIGHEST
+# explicitly, and the remaining einsums are tiny.
+_jax.config.update("jax_default_matmul_precision", "float32")

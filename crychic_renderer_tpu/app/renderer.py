@@ -253,9 +253,14 @@ class Renderer:
         kw = dict(pair_capacity=size(req["main_pairs"]),
                   shadow_pair_capacity=size(req["shadow_pairs"]))
         if not self.cfg.use_pallas:
-            # the XLA path truncates per-tile runs at bin_cap
+            # the XLA path truncates per-tile runs at bin_cap — size BOTH
+            # the main and the shadow caps (an undersized shadow_bin_cap
+            # silently dropped shadow casters; found by the on-TPU
+            # pallas-vs-XLA parity sweep)
             kw["bin_cap"] = max(
                 64, -(-(req["main_max_tile"] * 2) // 32) * 32)
+            kw["shadow_bin_cap"] = max(
+                64, -(-(req["shadow_max_tile"] * 2) // 32) * 32)
         self.cfg = _dc.replace(self.cfg, **kw)
 
     def check_capacity(self, total_time: float = 0.0):
@@ -275,6 +280,11 @@ class Renderer:
             raise RuntimeError(
                 f"tile overflow: {req['main_max_tile']} triangles in one "
                 f"tile > bin_cap {self.cfg.bin_cap}")
+        if not self.cfg.use_pallas and \
+                req["shadow_max_tile"] > self.cfg.shadow_bin_cap:
+            raise RuntimeError(
+                f"shadow tile overflow: {req['shadow_max_tile']} triangles "
+                f"in one tile > shadow_bin_cap {self.cfg.shadow_bin_cap}")
         return req
 
     def _default_camera(self):

@@ -1,16 +1,17 @@
-"""DDS texture loading: header parse, BC1/BC3 (DXT1/DXT5) block decode,
-mip chains, cubemaps — plus BMP frames for the animated textures.
+"""DDS texture loading: legacy + DX10 headers, BC1/BC2/BC3 block decode,
+RGBA masks, mip chains, cubemaps, texture arrays — plus BMP frames for the
+animated textures.
 
 Re-implements the capability of the reference's DDSTextureLoader
-(/root/reference/Common/DDSTextureLoader.cpp: header parse :147, format
-mapping :557, mip/subresource layout :897) for the formats actually present
-in the asset set (BC1/DXT1, BC3/DXT5, RGBA8/BGRA8 — verified by header
-inspection, SURVEY.md §3.5). Compressed textures are decoded to RGBA8 on
-the host at load time: TPUs sample from dense arrays, so decode-at-load is
-the tpu-native equivalent of the GPU's native BC sampler.
+(/root/reference/Common/DDSTextureLoader.cpp: header parse :147, DX10
+header + arrays :1694-1809, format mapping :557, mip/subresource layout
+:897) for the format families the renderer consumes. Compressed textures
+are decoded to RGBA8 on the host at load time: TPUs sample from dense
+arrays, so decode-at-load is the tpu-native equivalent of the GPU's
+native BC sampler.
 
-The pure-numpy decoder is vectorized over blocks; a C++ fast path
-(native/asset_pipeline) can override `decode_bc1`/`decode_bc3` when built.
+The pure-numpy decoders are vectorized over blocks; a C++ fast path
+(native/asset_pipeline) overrides `decode_bc1/2/3` when built.
 """
 from __future__ import annotations
 
@@ -103,6 +104,15 @@ def decode_bc2(data: bytes, width: int, height: int) -> np.ndarray:
     """DXT3: 16-byte blocks = 8 bytes of explicit 4-bit alpha + a BC1-style
     color block in the (always) 4-color mode (DDSTextureLoader.cpp maps
     DXT2/DXT3 to DXGI_FORMAT_BC2_UNORM, :569-574)."""
+    from .. import native
+
+    fast = native.decode_bc2(data, width, height)
+    if fast is not None:
+        return fast
+    return _decode_bc2_numpy(data, width, height)
+
+
+def _decode_bc2_numpy(data: bytes, width: int, height: int) -> np.ndarray:
     bw, bh = (width + 3) // 4, (height + 3) // 4
     n = bw * bh
     raw = np.frombuffer(data, dtype=np.uint8, count=n * 16).reshape(n, 16)

@@ -47,6 +47,7 @@ def get_lib():
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.decode_bc1.argtypes = [u8p, ctypes.c_int, ctypes.c_int, u8p]
+    lib.decode_bc2.argtypes = [u8p, ctypes.c_int, ctypes.c_int, u8p]
     lib.decode_bc3.argtypes = [u8p, ctypes.c_int, ctypes.c_int, u8p]
     lib.mesh_txt_counts.argtypes = [ctypes.c_char_p, i32p, i32p]
     lib.mesh_txt_counts.restype = ctypes.c_int
@@ -70,6 +71,16 @@ def decode_bc1(data: bytes, width: int, height: int):
     buf = np.frombuffer(data, dtype=np.uint8)
     out = np.empty((height, width, 4), dtype=np.uint8)
     lib.decode_bc1(_u8(buf), width, height, _u8(out))
+    return out
+
+
+def decode_bc2(data: bytes, width: int, height: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty((height, width, 4), dtype=np.uint8)
+    lib.decode_bc2(_u8(buf), width, height, _u8(out))
     return out
 
 

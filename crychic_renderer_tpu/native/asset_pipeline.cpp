@@ -73,6 +73,42 @@ void decode_bc1(const uint8_t* data, int width, int height, uint8_t* out) {
 }
 
 // ---------------------------------------------------------------------------
+// BC2 (DXT3): 16-byte blocks (8 explicit 4-bit alpha + 8 color) -> RGBA8
+// ---------------------------------------------------------------------------
+
+void decode_bc2(const uint8_t* data, int width, int height, uint8_t* out) {
+    const int bw = (width + 3) / 4, bh = (height + 3) / 4;
+    for (int by = 0; by < bh; ++by) {
+        for (int bx = 0; bx < bw; ++bx) {
+            const uint8_t* blk = data + (by * bw + bx) * 16;
+            const uint8_t* cb = blk + 8;
+            uint16_t c0 = cb[0] | (cb[1] << 8);
+            uint16_t c1 = cb[2] | (cb[3] << 8);
+            uint32_t bits = cb[4] | (cb[5] << 8) | (cb[6] << 16)
+                            | ((uint32_t)cb[7] << 24);
+            float p[4][3];
+            decode565(c0, p[0]);
+            decode565(c1, p[1]);
+            for (int k = 0; k < 3; ++k) {
+                p[2][k] = (2 * p[0][k] + p[1][k]) / 3.0f;
+                p[3][k] = (p[0][k] + 2 * p[1][k]) / 3.0f;
+            }
+            for (int t = 0; t < 16; ++t) {
+                int px = bx * 4 + (t & 3), py = by * 4 + (t >> 2);
+                if (px >= width || py >= height) continue;
+                const float* col = p[(bits >> (2 * t)) & 3];
+                uint8_t nib = (blk[t >> 1] >> ((t & 1) * 4)) & 0xF;
+                uint8_t* o = out + (py * width + px) * 4;
+                o[0] = clamp255(col[0]);
+                o[1] = clamp255(col[1]);
+                o[2] = clamp255(col[2]);
+                o[3] = clamp255(nib * (255.0f / 15.0f));
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // BC3 (DXT5): 16-byte blocks (8 alpha + 8 color) -> RGBA8
 // ---------------------------------------------------------------------------
 

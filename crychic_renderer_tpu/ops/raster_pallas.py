@@ -48,8 +48,7 @@ REC_ROWS = 16
 ID_NONE = 3.0e7  # sentinel id (< 2^25 so float32-exact comparisons hold)
 
 
-def snap_xy(xy: jnp.ndarray) -> jnp.ndarray:
-    return jnp.round(xy * SUBPIXEL) / SUBPIXEL
+snap_xy = rz.snap_xy  # canonical snap lives with setup_tri_verts
 
 
 def tri_records(tris: rz.ScreenTris, xrange=None) -> jnp.ndarray:
@@ -197,17 +196,24 @@ def _raster_kernel(starts_ref, counts_ref, records_hbm, q_ref, depth_ref,
             # atlas column guard: pixel center x within [xlo, xhi)
             xlo = jax.lax.dot_general(
                 rec, e_xlo, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (TB, 1)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (TB, 1)
             xhi = jax.lax.dot_general(
                 rec, e_xhi, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             cov = cov & (px >= xlo) & (px < xhi)
         z = E_all[:, 3 * P:4 * P]
         z = jnp.where(cov & (z >= 0.0) & (z <= 1.0), z, jnp.inf)
         if with_ids:
+            # HIGHEST precision is required: the MXU's default one-pass
+            # bf16 rounds triangle ids to 8 mantissa bits (id 40790 came
+            # out 40704 — every kernel winner snapped to a multiple of
+            # 128/256; found by the on-TPU pallas-vs-XLA parity sweep)
             ids_col = jax.lax.dot_general(
                 rec, e_id, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (TB, 1)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (TB, 1)
 
         # demux the block's rows to the tiles they belong to
         g = (first_blk + b) * TRI_BLOCK + sub  # (TB, 1) global pair index

@@ -84,11 +84,25 @@ def setup_triangles(clip_verts: jnp.ndarray, indices: jnp.ndarray,
     return setup_tri_verts(v, None, width, height, cull_backface)
 
 
+SUBPIXEL = 256.0  # 1/256-pixel snapping (the D3D subpixel grid)
+
+
+def snap_xy(xy: jnp.ndarray) -> jnp.ndarray:
+    return jnp.round(xy * SUBPIXEL) / SUBPIXEL
+
+
 def setup_tri_verts(v: jnp.ndarray, valid_in, width: int, height: int,
                     cull_backface: bool = True) -> ScreenTris:
     """Per-triangle screen setup from explicit clip-space vertices
-    (T, 3, 4) — the entry point for pre-clipped geometry."""
+    (T, 3, 4) — the entry point for pre-clipped geometry.
+
+    Vertex xy snaps to the 1/256 subpixel grid HERE so every rasterization
+    path (bruteforce, binned XLA, Pallas kernel, bands, capacity probes)
+    evaluates identical edge functions — kernel-vs-XLA winners then agree
+    except at true shared-edge ties (measured 48% near-tie tid flips on
+    sub-pixel triangles before alignment)."""
     xy, z, inv_w, in_front = viewport_transform(v, width, height)
+    xy = snap_xy(xy)
     valid = in_front.all(axis=-1)
     if valid_in is not None:
         valid = valid & valid_in

@@ -131,7 +131,6 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
                                          interpret=cfg.pallas_interpret,
                                          tile_row_offset=tr0,
                                          num_tile_rows=n_rows)
-        tris = tris._replace(xy=rp.snap_xy(tris.xy))  # match kernel coords
     else:
         bins = rz.bin_triangles(tris, W, H, cfg.pair_capacity)
         depth, tid = rz.rasterize_binned(tris, bins, W, H, cfg.bin_cap,
@@ -151,8 +150,6 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
         # (+ the halo row) — same math as the single-chip merge, so band
         # output stays bit-identical
         a_tris, a_attr = fr.alpha_view_tris(scene, consts, cfg)
-        if cfg.use_pallas:
-            a_tris = a_tris._replace(xy=rp.snap_xy(a_tris.xy))
         px = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :]
         py = (y0.astype(jnp.float32)
               + jnp.arange(band_h + 1, dtype=jnp.float32) + 0.5)[:, None]

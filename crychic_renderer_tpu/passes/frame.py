@@ -767,8 +767,6 @@ def alpha_merge_main(scene: DeviceScene, consts: FrameConstants,
     the exact same path (tid indexes the concatenated table)."""
     H, W = depth.shape
     a_tris, a_attr = alpha_view_tris(scene, consts, cfg)
-    if cfg.use_pallas:
-        a_tris = a_tris._replace(xy=rp.snap_xy(a_tris.xy))
     px = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :]
     py = (jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None]
     uv_tri = a_attr[:, :, 13:15]
@@ -843,35 +841,43 @@ def capacity_requirements(scene: DeviceScene, consts: FrameConstants,
     quantities pair_capacity/shadow_pair_capacity must exceed, else the
     rasterizer silently drops geometry. Cheap (dense per-triangle math,
     no pair expansion); jit and read two scalars."""
+    def max_tile_count(tx0, ty0, bw, bh, ntx, nty):
+        # exact per-tile counts without pair expansion: rectangle scatter
+        # by inclusion-exclusion + 2D cumsum (the XLA path truncates each
+        # tile's run at bin_cap, so the max matters)
+        img = jnp.zeros((nty + 1, ntx + 1), jnp.int32)
+        one = (bw > 0).astype(jnp.int32)
+        img = img.at[ty0, tx0].add(one, mode="drop")
+        img = img.at[ty0, tx0 + bw].add(-one, mode="drop")
+        img = img.at[ty0 + bh, tx0].add(-one, mode="drop")
+        img = img.at[ty0 + bh, tx0 + bw].add(one, mode="drop")
+        counts = jnp.cumsum(jnp.cumsum(img, axis=0), axis=1)[:nty, :ntx]
+        return counts.max()
+
     tris, _ = main_view_tris(scene, consts, cfg)
     th = rp.TILE_H if cfg.use_pallas else rz.TILE_H
     tx0, ty0, bw, bh, ntx, nty = rz._tile_bbox(tris, cfg.width, cfg.height,
                                                th, rz.TILE_W)
     main_pairs = (bw * bh).astype(jnp.int32).sum()
-    # exact per-tile counts without pair expansion: rectangle scatter by
-    # inclusion-exclusion + 2D cumsum (the XLA path truncates each tile's
-    # run at bin_cap, so its max matters)
-    img = jnp.zeros((nty + 1, ntx + 1), jnp.int32)
-    one = (bw > 0).astype(jnp.int32)
-    img = img.at[ty0, tx0].add(one, mode="drop")
-    img = img.at[ty0, tx0 + bw].add(-one, mode="drop")
-    img = img.at[ty0 + bh, tx0].add(-one, mode="drop")
-    img = img.at[ty0 + bh, tx0 + bw].add(one, mode="drop")
-    tile_counts = jnp.cumsum(jnp.cumsum(img, axis=0), axis=1)[:nty, :ntx]
-    main_max_tile = tile_counts.max()
+    main_max_tile = max_tile_count(tx0, ty0, bw, bh, ntx, nty)
 
     S = cfg.shadow_map_size
     C = cfg.num_cascades
     shadow_pairs = jnp.int32(0)
+    shadow_max_tile = jnp.int32(0)
     tri_world = shadow_tri_world(scene.shadow, consts.shadow_visibility)
     for c in range(C):
         t = rz.setup_tri_verts(tri_world @ consts.cascade_view_projs[c],
                                None, S, S)
         sh_th = SHADOW_TILE_H if cfg.use_pallas else rz.TILE_H
-        _, _, bw, bh, _, _ = rz._tile_bbox(t, S, S, sh_th, rz.TILE_W)
+        tx0, ty0, bw, bh, ntx, nty = rz._tile_bbox(t, S, S, sh_th,
+                                                   rz.TILE_W)
         shadow_pairs = shadow_pairs + (bw * bh).astype(jnp.int32).sum()
+        shadow_max_tile = jnp.maximum(
+            shadow_max_tile, max_tile_count(tx0, ty0, bw, bh, ntx, nty))
     return dict(main_pairs=main_pairs, shadow_pairs=shadow_pairs,
-                main_max_tile=main_max_tile)
+                main_max_tile=main_max_tile,
+                shadow_max_tile=shadow_max_tile)
 
 
 # ---------------------------------------------------------------------------
@@ -889,7 +895,6 @@ def render_frame(scene: DeviceScene, consts: FrameConstants,
     if cfg.use_pallas:
         depth, tid = rp.rasterize_pallas(tris, W, H, cfg.pair_capacity,
                                          interpret=cfg.pallas_interpret)
-        tris = tris._replace(xy=rp.snap_xy(tris.xy))  # match kernel coords
     else:
         bins = rz.bin_triangles(tris, W, H, cfg.pair_capacity)
         depth, tid = rz.rasterize_binned(tris, bins, W, H, cfg.bin_cap)

@@ -247,8 +247,10 @@ class Renderer:
         req = self.capacity_requirements(0.0)
 
         def size(needed):
-            return max(1 << 14, 1 << int(np.ceil(np.log2(
-                max(2 * needed, 1)))))
+            # 1.5x headroom rounded to 64k: the bin sort's cost scales
+            # with the STATIC capacity, so pow2 rounding (up to 2x slack
+            # on top of the 2x headroom) measurably taxed the shadow pass
+            return max(1 << 14, -(-int(needed * 1.5) // 65536) * 65536)
 
         kw = dict(pair_capacity=size(req["main_pairs"]),
                   shadow_pair_capacity=size(req["shadow_pairs"]))

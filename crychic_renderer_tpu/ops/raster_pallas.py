@@ -116,7 +116,7 @@ def _plane_matrix(tile_h: int):
 
 def _raster_kernel(starts_ref, counts_ref, records_hbm, q_ref, depth_ref,
                    *rest, tile_h: int, with_ids: bool,
-                   with_xrange: bool = False):
+                   with_xrange: bool = False, tpp: int = TILES_PER_PROG):
     """Flat-streaming rasterizer (layouts: Mosaic tiles are (8, 128)).
 
     Each program owns TILES_PER_PROG consecutive tiles. Their pair runs
@@ -149,18 +149,18 @@ def _raster_kernel(starts_ref, counts_ref, records_hbm, q_ref, depth_ref,
     e_xhi = (row_iota == 14).astype(jnp.float32)
     Q = q_ref[...]
 
-    base = i * TILES_PER_PROG
+    base = i * tpp
     s0 = starts_ref[base]
-    pend = (starts_ref[base + TILES_PER_PROG - 1]
-            + counts_ref[base + TILES_PER_PROG - 1])
+    pend = (starts_ref[base + tpp - 1]
+            + counts_ref[base + tpp - 1])
     first_blk = s0 // TRI_BLOCK
     nblk = jax.lax.select(pend > first_blk * TRI_BLOCK,
                           pl.cdiv(pend - first_blk * TRI_BLOCK, TRI_BLOCK),
                           0)
 
-    acc_z[...] = jnp.full((TILES_PER_PROG, P), 1.0, jnp.float32)
+    acc_z[...] = jnp.full((tpp, P), 1.0, jnp.float32)
     if with_ids:
-        acc_id[...] = jnp.full((TILES_PER_PROG, P), ID_NONE, jnp.float32)
+        acc_id[...] = jnp.full((tpp, P), ID_NONE, jnp.float32)
 
     def dma(slot, b):
         return pltpu.make_async_copy(
@@ -219,7 +219,7 @@ def _raster_kernel(starts_ref, counts_ref, records_hbm, q_ref, depth_ref,
         g = (first_blk + b) * TRI_BLOCK + sub  # (TB, 1) global pair index
         blo = (first_blk + b) * TRI_BLOCK
         bhi = blo + TRI_BLOCK
-        for t in range(TILES_PER_PROG):
+        for t in range(tpp):
             s_t = starts_ref[base + t]
             c_t = counts_ref[base + t]
             e_t = s_t + c_t
@@ -288,7 +288,8 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
                      pair_capacity: int, interpret: bool = False,
                      tile_h: int = TILE_H, with_ids: bool = True,
                      with_stats: bool = False, xrange=None,
-                     tile_row_offset=None, num_tile_rows: int = None):
+                     tile_row_offset=None, num_tile_rows: int = None,
+                     tiles_per_prog: int = TILES_PER_PROG):
     """Full pipeline: bin (XLA) + raster (Pallas kernel).
 
     Triangle setup must use the same snapped coordinates the records use,
@@ -309,6 +310,7 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
     with_stats) is a dict of scalars: pairs_valid, pairs_overflowed (pairs
     beyond pair_capacity were silently dropped), max_tile_count.
     """
+    tpp = tiles_per_prog
     ntx = -(-width // TILE_W)
     nty = -(-height // tile_h)
     num_tiles = ntx * nty
@@ -326,12 +328,12 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
         starts_g = jax.lax.dynamic_slice_in_dim(bins.starts, off, grid_tiles)
         counts_g = jax.lax.dynamic_slice_in_dim(bins.counts, off, grid_tiles)
 
-    # pad the tile tables to a multiple of TILES_PER_PROG. Pad starts carry
-    # the total end-of-pairs position so a program's stream range
+    # pad the tile tables to a multiple of tiles_per_prog. Pad starts
+    # carry the total end-of-pairs position so a program's stream range
     # [starts[t0], starts[tN]+counts[tN]) stays correct when its tail tiles
     # are padding (counts 0).
-    num_progs = -(-grid_tiles // TILES_PER_PROG)
-    pad_tiles = num_progs * TILES_PER_PROG - grid_tiles
+    num_progs = -(-grid_tiles // tpp)
+    pad_tiles = num_progs * tpp - grid_tiles
     if pad_tiles:
         starts = jnp.concatenate(
             [starts_g, jnp.full((pad_tiles,), bins.num_valid, jnp.int32)])
@@ -342,19 +344,19 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
 
     kernel = functools.partial(_raster_kernel, tile_h=tile_h,
                                with_ids=with_ids,
-                               with_xrange=xrange is not None)
+                               with_xrange=xrange is not None, tpp=tpp)
     P = tile_h * TILE_W
-    out_spec = pl.BlockSpec((TILES_PER_PROG, P), lambda i, *_: (i, 0))
-    out_shape = [jax.ShapeDtypeStruct((num_progs * TILES_PER_PROG, P),
+    out_spec = pl.BlockSpec((tpp, P), lambda i, *_: (i, 0))
+    out_shape = [jax.ShapeDtypeStruct((num_progs * tpp, P),
                                       jnp.float32)]
     out_specs = [out_spec]
     if with_ids:
         out_shape.append(jax.ShapeDtypeStruct(
-            (num_progs * TILES_PER_PROG, P), jnp.int32))
+            (num_progs * tpp, P), jnp.int32))
         out_specs.append(out_spec)
-    scratch = [pltpu.VMEM((TILES_PER_PROG, P), jnp.float32)]
+    scratch = [pltpu.VMEM((tpp, P), jnp.float32)]
     if with_ids:
-        scratch.append(pltpu.VMEM((TILES_PER_PROG, P), jnp.float32))
+        scratch.append(pltpu.VMEM((tpp, P), jnp.float32))
     scratch += [
         pltpu.VMEM((2, REC_ROWS, TRI_BLOCK), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),

@@ -321,13 +321,14 @@ def render_shadow_atlas(scene: DeviceScene, shadow_visibility,
     # 8-row tiles: with the flat-streaming kernel, per-tile overhead is
     # amortized across each program's contiguous pair range, so smaller
     # tiles win — each pair block's (TB, 4P) plane evaluation is 4x
-    # cheaper (measured 102 -> 76 ms staged vs 32-row tiles)
+    # cheaper (measured 102 -> 76 ms staged vs 32-row tiles); 32 tiles
+    # per program measured best for the atlas's short runs
     depth, _ = rp.rasterize_pallas(tris, k * S, S,
                                    cfg.shadow_pair_capacity,
                                    tile_h=SHADOW_TILE_H,
                                    with_ids=False,
                                    interpret=cfg.pallas_interpret,
-                                   xrange=xrange)
+                                   xrange=xrange, tiles_per_prog=32)
     return jnp.stack([depth[:, c * S:(c + 1) * S] for c in range(k)])
 
 

@@ -22,6 +22,17 @@ import jax.numpy as jnp
 PI = 3.1415926
 
 
+
+def rowmat(v, M):
+    """Row-vector transform ``v @ M`` (optionally batched over leading
+    dims of either side) as elementwise multiply + sum on the VPU.
+
+    The MXU's DEFAULT f32 matmul is one-pass bf16 — a correctness bug for
+    geometry (see PERF.md "Precision on the MXU") — and its exact mode is
+    6-pass. For K=3/4 transform chains the VPU evaluates exact f32 and is
+    faster than either (vertex stage measured ~38 -> ~11 ms true)."""
+    return (v[..., :, None] * M).sum(axis=-2)
+
 def saturate(x):
     return jnp.clip(x, 0.0, 1.0)
 

@@ -331,7 +331,10 @@ def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
     # Project by ALL cascades densely (4 small matmuls) and select per
     # pixel — a per-pixel (4,4)-matrix gather would be tiled to (8,128)
     # and inflate 256x.
-    all_pos = jnp.einsum("...i,cij->c...j", ph, shadow_transforms)  # (4,...,4)
+    from .shading import rowmat
+
+    all_pos = jnp.stack([rowmat(ph, shadow_transforms[ci])
+                         for ci in range(4)])  # (4, ..., 4)
 
     def shadow_pos_for(cascade_idx):
         sel = (jnp.arange(4)[:, None, None, None]

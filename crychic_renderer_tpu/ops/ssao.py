@@ -175,7 +175,9 @@ def ssao_occlusion(normal_v, depth_ndc, proj, inv_proj, offsets,
     U, V = jnp.meshgrid(uu, vv)  # 'xy' indexing: both (h, w)
     ndc = jnp.stack([2 * U - 1, 1 - 2 * V, jnp.zeros_like(U),
                      jnp.ones_like(U)], axis=-1)
-    ph = ndc @ inv_proj
+    from .shading import rowmat
+
+    ph = rowmat(ndc, inv_proj)
     pos_v_ray = ph[..., :3] / ph[..., 3:4]
 
     pz = ndc_depth_to_view(depth_ndc, A22, B32)
@@ -215,7 +217,8 @@ def ssao_occlusion(normal_v, depth_ndc, proj, inv_proj, offsets,
         flip = jnp.sign((refl * n).sum(-1, keepdims=True))
         q = p + flip * occlusion_radius * refl
         # project q with proj, into texture space (u = x*0.5+0.5, v flip)
-        qh = jnp.concatenate([q, jnp.ones_like(q[..., :1])], -1) @ proj
+        qh = rowmat(
+            jnp.concatenate([q, jnp.ones_like(q[..., :1])], -1), proj)
         qn = qh[..., :3] / jnp.maximum(qh[..., 3:4], 1e-8)
         qu = qn[..., 0] * 0.5 + 0.5
         qv = -qn[..., 1] * 0.5 + 0.5

@@ -149,23 +149,9 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
         # AlphaTested layer: dense peel over the band's GLOBAL pixel rows
         # (+ the halo row) — same math as the single-chip merge, so band
         # output stays bit-identical
-        a_tris, a_attr = fr.alpha_view_tris(scene, consts, cfg)
-        px = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :]
-        py = (y0.astype(jnp.float32)
-              + jnp.arange(band_h + 1, dtype=jnp.float32) + 0.5)[:, None]
-        az, aid = fr._alpha_peel(a_tris, a_attr[:, :, 13:15],
-                                 a_attr[:, 0, 15], scene, px, py,
-                                 cfg.alpha_peels, cfg.alpha_clip)
-        t_base = tris.xy.shape[0]
-        win = (aid >= 0) & (az < depth)
-        depth = jnp.where(win, az, depth)
-        tid = jnp.where(win, t_base + aid, tid)
-        tris = rz.ScreenTris(
-            xy=jnp.concatenate([tris.xy, a_tris.xy]),
-            z=jnp.concatenate([tris.z, a_tris.z]),
-            inv_w=jnp.concatenate([tris.inv_w, a_tris.inv_w]),
-            valid=jnp.concatenate([tris.valid, a_tris.valid]))
-        tri_attr = jnp.concatenate([tri_attr, a_attr])
+        depth, tid, tris, tri_attr = fr.alpha_merge_main(
+            scene, consts, cfg, depth, tid, tris, tri_attr,
+            row_offset=y0.astype(jnp.float32))
         if cfg.shadows_enabled:
             shadow_maps = fr.alpha_merge_shadow(scene, consts, cfg,
                                                 shadow_maps)

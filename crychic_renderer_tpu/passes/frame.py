@@ -20,7 +20,8 @@ TPU-first deviations (same output, different schedule):
   depth: the reference rasterizes the scene 3x (normals, G-buffer, deferred
   re-shade with DEPTH_EQUAL); with a functional pipeline those are all
   reads of the same (depth, triangle-id) buffer.
-- Vertex transforms for all instances run as one dense einsum (MXU).
+- Vertex transforms for all instances run as one dense batched
+  multiply-add (exact f32 on the VPU — see ops.shading.rowmat).
 - Barriers/PSOs/descriptor heaps have no equivalent: data dependence is
   explicit in the dataflow graph.
 """
@@ -203,12 +204,12 @@ def vertex_stage(draw: DeviceDraw, visibility: jnp.ndarray,
     W = draw.worlds[draw.vertex_instance]  # (V, 4, 4)
     ph = jnp.concatenate(
         [draw.positions, jnp.ones_like(draw.positions[..., :1])], axis=-1)
-    pos_w = jnp.einsum("vi,vij->vj", ph, W)[:, :3]
-    nrm_w = jnp.einsum("vi,vij->vj", draw.normals, W[:, :3, :3])
-    tan_w = jnp.einsum("vi,vij->vj", draw.tangents, W[:, :3, :3])
+    pos_w = shading.rowmat(ph, W)[:, :3]
+    nrm_w = shading.rowmat(draw.normals, W[:, :3, :3])
+    tan_w = shading.rowmat(draw.tangents, W[:, :3, :3])
 
     pos_wh = jnp.concatenate([pos_w, jnp.ones_like(pos_w[..., :1])], -1)
-    clip = pos_wh @ view_proj
+    clip = shading.rowmat(pos_wh, view_proj)
     vis_v = visibility[draw.vertex_instance]
     clip = clip * vis_v[:, None]
 
@@ -218,7 +219,7 @@ def vertex_stage(draw: DeviceDraw, visibility: jnp.ndarray,
          jnp.ones_like(draw.uvs[..., :1])], axis=-1)
     T = draw.tex_transforms[draw.vertex_instance]
     M = mat_transform[draw.material_indices[draw.vertex_instance]]
-    uv = jnp.einsum("vi,vij->vj", jnp.einsum("vi,vij->vj", uvh, T), M)[:, :2]
+    uv = shading.rowmat(shading.rowmat(uvh, T), M)[:, :2]
     return pos_w, nrm_w, tan_w, uv, clip
 
 
@@ -228,8 +229,8 @@ def shadow_clip(draw: DeviceDraw, visibility: jnp.ndarray,
     W = draw.worlds[draw.vertex_instance]
     ph = jnp.concatenate(
         [draw.positions, jnp.ones_like(draw.positions[..., :1])], axis=-1)
-    pos_w = jnp.einsum("vi,vij->vj", ph, W)
-    clip = pos_w @ cascade_vp
+    pos_w = shading.rowmat(ph, W)
+    clip = shading.rowmat(pos_w, cascade_vp)
     return clip * visibility[draw.vertex_instance][:, None]
 
 
@@ -242,7 +243,7 @@ def shadow_tri_world(draw: DeviceDraw, visibility: jnp.ndarray):
     W = draw.worlds[draw.vertex_instance]
     ph = jnp.concatenate(
         [draw.positions, jnp.ones_like(draw.positions[..., :1])], axis=-1)
-    pos_w = jnp.einsum("vi,vij->vj", ph, W)
+    pos_w = shading.rowmat(ph, W)
     pos_w = pos_w * visibility[draw.vertex_instance][:, None]
     return pos_w[draw.indices.reshape(-1, 3)]  # (T, 3, 4)
 
@@ -262,7 +263,7 @@ def render_one_shadow_map(scene: DeviceScene, shadow_visibility, vp,
     S = cfg.shadow_map_size
     if tri_world is None:
         tri_world = shadow_tri_world(scene.shadow, shadow_visibility)
-    tris = rz.setup_tri_verts(tri_world @ vp, None, S, S)
+    tris = rz.setup_tri_verts(shading.rowmat(tri_world, vp), None, S, S)
     tris = _shadow_bias(tris)
     if cfg.use_pallas:
         depth, _ = rp.rasterize_pallas(tris, S, S, cfg.shadow_pair_capacity,
@@ -301,7 +302,8 @@ def render_shadow_atlas(scene: DeviceScene, shadow_visibility,
     tri_world = shadow_tri_world(scene.shadow, shadow_visibility)
     tris_list = []
     for c in range(k):
-        t = rz.setup_tri_verts(tri_world @ vps[c], None, S, S)
+        t = rz.setup_tri_verts(shading.rowmat(tri_world, vps[c]),
+                               None, S, S)
         # shift into atlas column c
         t = t._replace(xy=t.xy + jnp.asarray([c * S, 0.0], jnp.float32))
         tris_list.append(t)
@@ -477,7 +479,7 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
         normal_sample[..., :3], unit_n, pix_tan_w)
 
     # DrawNormals.hlsl:91: view-space normal from the UNBUMPED vertex normal
-    normal_v = unit_n @ consts.view[:3, :3]
+    normal_v = shading.rowmat(unit_n, consts.view[:3, :3])
 
     g = dict(
         pos_w=pix_pos_w,
@@ -761,15 +763,20 @@ def _alpha_peel(tris: rz.ScreenTris, uv_tri, mat_tri, scene: DeviceScene,
 
 
 def alpha_merge_main(scene: DeviceScene, consts: FrameConstants,
-                     cfg: RenderConfig, depth, tid, tris, tri_attr):
+                     cfg: RenderConfig, depth, tid, tris, tri_attr,
+                     row_offset=0.0):
     """Rasterize the AlphaTested layer and merge it into the opaque
     visibility buffer; AT triangle records are APPENDED to the screen-tri
     and attribute tables, so resolve_gbuffer shades AT winners through
-    the exact same path (tid indexes the concatenated table)."""
+    the exact same path (tid indexes the concatenated table).
+
+    row_offset: first GLOBAL pixel row of `depth` (band rendering — the
+    peel evaluates at global rows so bands match single-chip exactly)."""
     H, W = depth.shape
     a_tris, a_attr = alpha_view_tris(scene, consts, cfg)
     px = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :]
-    py = (jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None]
+    py = (jnp.asarray(row_offset, jnp.float32)
+          + jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None]
     uv_tri = a_attr[:, :, 13:15]
     mat_tri = a_attr[:, 0, 15]
     az, aid = _alpha_peel(a_tris, uv_tri, mat_tri, scene, px, py,
@@ -806,15 +813,15 @@ def alpha_merge_shadow(scene: DeviceScene, consts: FrameConstants,
          jnp.ones_like(draw.uvs[..., :1])], axis=-1)
     Tm = draw.tex_transforms[draw.vertex_instance]
     Mm = scene.mat_transform[draw.material_indices[draw.vertex_instance]]
-    uv = jnp.einsum("vi,vij->vj",
-                    jnp.einsum("vi,vij->vj", uvh, Tm), Mm)[:, :2]
+    uv = shading.rowmat(shading.rowmat(uvh, Tm), Mm)[:, :2]
     tri_idx = draw.indices.reshape(-1, 3)
     uv_tri = uv[tri_idx]
     mat_tri = draw.material_indices[draw.vertex_instance][tri_idx[:, 0]]
 
     out = []
     for c in range(shadow_maps.shape[0]):
-        t = rz.setup_tri_verts(tri_world @ consts.cascade_view_projs[c],
+        t = rz.setup_tri_verts(
+            shading.rowmat(tri_world, consts.cascade_view_projs[c]),
                                None, S, S)
         t = _shadow_bias(t)
         # static window over the layer's light-space bbox
@@ -868,7 +875,8 @@ def capacity_requirements(scene: DeviceScene, consts: FrameConstants,
     shadow_max_tile = jnp.int32(0)
     tri_world = shadow_tri_world(scene.shadow, consts.shadow_visibility)
     for c in range(C):
-        t = rz.setup_tri_verts(tri_world @ consts.cascade_view_projs[c],
+        t = rz.setup_tri_verts(
+            shading.rowmat(tri_world, consts.cascade_view_projs[c]),
                                None, S, S)
         sh_th = SHADOW_TILE_H if cfg.use_pallas else rz.TILE_H
         tx0, ty0, bw, bh, ntx, nty = rz._tile_bbox(t, S, S, sh_th,

@@ -19,9 +19,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from ..config import RenderConfig
 from ..ops import rasterizer as rz
 from ..ops import raster_pallas as rp
 from ..passes import frame as fr

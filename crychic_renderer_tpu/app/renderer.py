@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import functools
 import os
-import time
 
 import numpy as np
 import jax
@@ -21,11 +20,10 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 from ..models.camera import Camera, BoundingFrustum
 from ..models import cascades as casc
-from ..models.materials import build_reference_lights, MAX_LIGHTS
+from ..models.materials import build_reference_lights
 from ..models.scene import Scene
 from ..ops import sampling, ssao as ssao_ops
 from ..passes import frame as fr
-from ..utils import mathutil as mu
 
 DEFAULT_ASSET_DIR = "/root/reference/Textures"
 

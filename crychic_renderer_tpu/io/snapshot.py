@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..models.geometry import MeshData
 from ..models.materials import MaterialBank, Lights
 from ..models.scene import DrawBuffers, Scene
 

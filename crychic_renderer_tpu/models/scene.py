@@ -12,8 +12,6 @@ pure device math: transform vertices, mask culled instances, rasterize.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 
 from . import geometry as gg
@@ -110,7 +108,7 @@ def flatten_items(items) -> DrawBuffers:
 
     Vertices are duplicated per instance — the TPU trade: HBM is cheap,
     gathers are not, and duplicated vertices turn per-instance transform
-    into one big dense einsum on the MXU.
+    into one dense batched multiply-add (ops.shading.rowmat).
     """
     pos, nrm, tan, uv, vinst, idx = [], [], [], [], [], []
     worlds, texs, mats, item_ids, cullable, bc, be = [], [], [], [], [], [], []

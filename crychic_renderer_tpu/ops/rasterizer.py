@@ -26,7 +26,6 @@ binning feeds both the pure-XLA rasterizer here and the Pallas kernel in
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

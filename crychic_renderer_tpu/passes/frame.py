@@ -28,7 +28,6 @@ TPU-first deviations (same output, different schedule):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +38,6 @@ from ..ops import rasterizer as rz
 from ..ops import raster_pallas as rp
 from ..ops import clipping
 from ..ops import sampling, shading, shadows, ssao as ssao_ops
-from ..models import cascades as casc
 
 # tile height of the shadow-atlas Pallas rasterization (see
 # render_shadow_atlas); capacity probes must bin with the same tiling

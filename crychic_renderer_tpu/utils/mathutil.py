@@ -23,8 +23,12 @@ Array = np.ndarray
 # Vector helpers
 # ---------------------------------------------------------------------------
 
-def normalize(v, eps: float = 0.0):
-    """Normalize along the last axis (XMVector3Normalize semantics)."""
+def normalize(v, eps: float = 1e-30):
+    """Normalize along the last axis (XMVector3Normalize semantics).
+
+    The default eps only guards the exact-zero vector (scenes without a
+    directional light still run cascade fitting on light 0); any real
+    direction has |v| >> 1e-30 and divides by its exact norm."""
     np_ = _np_of(v)
     n = np_.sqrt((v * v).sum(axis=-1, keepdims=True))
     if eps:

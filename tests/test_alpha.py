@@ -63,3 +63,25 @@ def test_alpha_peel_recovers_back_layer():
     img1 = Renderer(scene, cfg1, lights=lights).render_np()
     diff = np.abs(img2[..., :3] - img1[..., :3]).max(-1)
     assert (diff > 0.05).sum() > 20
+
+
+def test_fence_golden(fence_pair):
+    """Committed golden pins the alpha-tested frame (holes + punched
+    shadows) against regressions. Regenerate deliberately with
+    GOLDEN_UPDATE=1."""
+    import os
+    import pathlib
+
+    img_on, _ = fence_pair
+    img8 = (np.clip(img_on, 0, 1) * 255 + 0.5).astype(np.uint8)
+    path = pathlib.Path(__file__).parent / "goldens" / "fence_480x270.npy"
+    if os.environ.get("GOLDEN_UPDATE") or not path.exists():
+        path.parent.mkdir(exist_ok=True)
+        np.save(path, img8)
+        pytest.skip(f"golden written to {path}")
+    ref = np.load(path)
+    diff = np.abs(img8.astype(np.int16) - ref.astype(np.int16))
+    frac_visible = (diff > 5).mean()
+    assert frac_visible < 0.005, (
+        f"{frac_visible:.4%} of pixels moved >2% vs fence golden "
+        f"(max {diff.max()}); if intentional, GOLDEN_UPDATE=1")

@@ -11,7 +11,9 @@ There is no window system in this environment, so the swapchain is the
 terminal: every frame is (optionally) shown as a truecolor half-block
 image via ANSI escapes, and `p` dumps the current frame to PNG.
 
-Keys: w/a/s/d move, i/k pitch, j/l turn, p screenshot, q quit.
+Keys: w/a/s/d move, i/k pitch, j/l turn, space pause (GameTimer
+Stop/Start — animated textures freeze, like the reference's WM_ACTIVATE
+handling, d3dApp.cpp:222-238), p screenshot, q quit.
 
 Usage::
 
@@ -135,6 +137,7 @@ def main(argv=None):
         os.environ["JAX_PLATFORMS"] = args.backend
 
     from ..models.scenes_baseline import CONFIGS
+    from ..utils.gametimer import GameTimer
     from .renderer import Renderer, write_png
     from .stats import FrameStats
 
@@ -157,24 +160,29 @@ def main(argv=None):
     stats.total_instances = scene.opaque.num_instances
 
     scripted = list(args.script) if args.script is not None else None
-    t0 = time.perf_counter()
-    last = t0
+    timer = GameTimer()
+    timer.reset()
     frames = 0
     running = True
+    paused = False
     with _RawKeys(enabled=scripted is None) as raw:
         while running:
-            now = time.perf_counter()
-            dt, last = now - last, now
+            timer.tick()
+            dt = max(timer.delta_time(), 0.0)
             keys = scripted.pop(0) if scripted else raw.poll()
+            if " " in keys:
+                paused = not paused
+                (timer.stop if paused else timer.start)()
+            t = timer.total_time()
             if "p" in keys:
-                write_png(args.out, r.render_np(now - t0))
+                write_png(args.out, r.render_np(t))
                 print(f"\nwrote {args.out}", flush=True)
             running = apply_keys(r.camera, keys, dt)
 
-            img = r.render_np(now - t0)
+            img = r.render_np(t)
             frames += 1
             stats.visible_instances = int(
-                np.asarray(r.frame_constants(now - t0)
+                np.asarray(r.frame_constants(t)
                            .opaque_visibility).sum())
             if not args.no_draw:
                 sys.stdout.write("\x1b[H\x1b[2J" + ansi_frame(img, args.cols)

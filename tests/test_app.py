@@ -36,3 +36,35 @@ def test_apply_keys_reference_semantics():
     assert not np.allclose(cam.look, look0)
     assert abs(np.dot(cam.right, cam.up)) < 1e-5  # basis re-orthonormalized
     assert not apply_keys(cam, "q", dt=0.1)
+
+
+def test_viewer_pause_freezes_total_time():
+    """Space toggles GameTimer stop/start: animated-texture time freezes
+    while paused (the reference's WM_ACTIVATE pause)."""
+    import time
+
+    from crychic_renderer_tpu.utils.gametimer import GameTimer
+
+    t = GameTimer()
+    t.reset()
+    time.sleep(0.05)
+    t.tick()
+    t0 = t.total_time()
+    t.stop()
+    time.sleep(0.05)
+    t.tick()
+    assert abs(t.total_time() - t0) < 1e-3  # frozen while stopped
+    t.start()
+    time.sleep(0.02)
+    t.tick()
+    assert t.total_time() > t0  # running again, paused span excluded
+    assert t.total_time() < t0 + 0.04
+
+
+def test_viewer_scripted_pause_key():
+    from crychic_renderer_tpu.app import viewer
+
+    frames = viewer.main([
+        "--config", "1", "--small", "--script", "w w", "--no-draw",
+    ])
+    assert frames == 3

@@ -27,7 +27,6 @@ import argparse
 import dataclasses
 import select
 import sys
-import time
 
 import numpy as np
 

@@ -104,3 +104,12 @@ def test_sharded_alpha_layer_matches_single():
     global pixel rows — identical to the single-chip merge."""
     r, cfg = _small_scene_and_cfg(with_alpha=True)
     _compare_sharded(cfg, r, 4)
+
+
+@pytest.mark.slow
+def test_sharded_fast_preset_matches_single():
+    """The performance preset (half-res PCF factor + quarter-res SSAO)
+    composes with band sharding: bands still match single-chip."""
+    r, cfg = _small_scene_and_cfg(fast_shadow_factor=True, ssao_scale=4,
+                                  aniso_probes=2)
+    _compare_sharded(cfg, r, 4)

@@ -82,11 +82,19 @@ def main():
                     help="dir of stored goldens (.npy) to diff against")
     ap.add_argument("--parity", action="store_true",
                     help="compare Pallas-kernel vs pure-XLA frames")
+    ap.add_argument("--json-out", type=str, default=None,
+                    help="also write the report JSON to this path (the "
+                    "per-round parity artifact: `... --parity --small "
+                    "--json-out PARITY_TPU.json` on the TPU; exit code is "
+                    "nonzero on regression)")
     args = ap.parse_args()
 
     if args.parity:
         report = parity(args.configs, args.small)
         print(json.dumps(report))
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                json.dump(report, f, indent=1)
         raise SystemExit(0 if report["ok"] else 1)
 
     from ..models.scenes_baseline import CONFIGS

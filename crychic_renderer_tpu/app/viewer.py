@@ -92,18 +92,29 @@ def apply_keys(camera, keys: str, dt: float) -> bool:
     return True
 
 
+def display_dims(height: int, width: int, cols: int = 120):
+    """Terminal display raster: 2 image rows per text row."""
+    cols = min(cols, width)
+    rows = max(2, int(cols * height / width)) & ~1
+    return rows, cols
+
+
 def ansi_frame(img: np.ndarray, cols: int = 120) -> str:
-    """Truecolor half-block rendering: 2 image rows per text row."""
-    h, w = img.shape[:2]
-    cols = min(cols, w)
-    rows = max(2, int(cols * h / w / 1.0)) & ~1
-    ys = (np.linspace(0, h - 1, rows)).astype(int)
-    xs = (np.linspace(0, w - 1, cols)).astype(int)
-    rgb = (np.clip(img[ys][:, xs, :3], 0, 1) * 255).astype(int)
+    """Truecolor half-block rendering of an image (float [0,1] full-res or
+    uint8 already display-sized)."""
+    if img.dtype == np.uint8:
+        rgb = img[..., :3].astype(int)
+    else:
+        h, w = img.shape[:2]
+        rows, cols = display_dims(h, w, cols)
+        ys = (np.linspace(0, h - 1, rows)).astype(int)
+        xs = (np.linspace(0, w - 1, cols)).astype(int)
+        rgb = (np.clip(img[ys][:, xs, :3], 0, 1) * 255).astype(int)
+    rows = rgb.shape[0]
     out = []
     for r in range(0, rows - 1, 2):
         line = []
-        for c in range(cols):
+        for c in range(rgb.shape[1]):
             tr, tg, tb = rgb[r, c]
             br, bg, bb = rgb[r + 1, c]
             line.append(f"\x1b[38;2;{tr};{tg};{tb}m"
@@ -158,12 +169,43 @@ def main(argv=None):
     stats = FrameStats()
     stats.total_instances = scene.opaque.num_instances
 
+    # Frames in flight (gNumFrameResources=3, CRYCHIC.h:20 + the fence
+    # wait, CRYCHIC.cpp:135-146): dispatch frame i, fetch/display frame
+    # i-(DEPTH-1). The fetch is a tiny display-sized uint8 transfer
+    # (viewer_step_fn) instead of the full float32 frame, so interactive
+    # throughput tracks the amortized render rate, not the tunnel's
+    # dispatch+transfer round trip. Each fetch also surfaces the frame's
+    # exact pair counts: an over-capacity camera walk raises (2 frames
+    # late) instead of silently dropping triangles.
+    DEPTH = 3
+    from collections import deque
+
+    disp_rows, disp_cols = display_dims(r.cfg.height, r.cfg.width, args.cols)
+    step = r.viewer_step_fn(disp_rows, disp_cols)
+
+    def fetch_and_show(entry):
+        disp, mp, sp = entry
+        mp, sp = int(mp), int(sp)
+        if mp > r.cfg.pair_capacity:
+            raise RuntimeError(
+                f"main raster overflow: frame expanded to {mp} pairs > "
+                f"pair_capacity {r.cfg.pair_capacity} (camera moved past "
+                "the auto-sized headroom; rebuild the Renderer)")
+        if sp > r.cfg.shadow_pair_capacity:
+            raise RuntimeError(
+                f"shadow raster overflow: {sp} pairs > "
+                f"shadow_pair_capacity {r.cfg.shadow_pair_capacity}")
+        if not args.no_draw:
+            sys.stdout.write("\x1b[H\x1b[2J"
+                             + ansi_frame(np.asarray(disp)) + "\n")
+
     scripted = list(args.script) if args.script is not None else None
     timer = GameTimer()
     timer.reset()
     frames = 0
     running = True
     paused = False
+    pending = deque()
     with _RawKeys(enabled=scripted is None) as raw:
         while running:
             timer.tick()
@@ -178,20 +220,22 @@ def main(argv=None):
                 print(f"\nwrote {args.out}", flush=True)
             running = apply_keys(r.camera, keys, dt)
 
-            img = r.render_np(t)
+            r._animate_materials(t)
+            consts = r.frame_constants(t)
+            pending.append(step(r.device_scene, consts))
             frames += 1
             stats.visible_instances = int(
-                np.asarray(r.frame_constants(t)
-                           .opaque_visibility).sum())
-            if not args.no_draw:
-                sys.stdout.write("\x1b[H\x1b[2J" + ansi_frame(img, args.cols)
-                                 + "\n")
+                np.asarray(consts.opaque_visibility).sum())
+            if len(pending) >= DEPTH:
+                fetch_and_show(pending.popleft())
             if stats.tick() or (scripted is not None):
                 print(stats.caption(), flush=True)
             if args.max_frames and frames >= args.max_frames:
                 running = False
             if scripted is not None and not scripted:
                 running = False
+        while pending:  # drain the pipeline (shows the last frames)
+            fetch_and_show(pending.popleft())
     return frames
 
 

@@ -289,7 +289,8 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
                      tile_h: int = TILE_H, with_ids: bool = True,
                      with_stats: bool = False, xrange=None,
                      tile_row_offset=None, num_tile_rows: int = None,
-                     tiles_per_prog: int = TILES_PER_PROG):
+                     tiles_per_prog: int = TILES_PER_PROG,
+                     bin_band: bool = False):
     """Full pipeline: bin (XLA) + raster (Pallas kernel).
 
     Triangle setup must use the same snapped coordinates the records use,
@@ -304,7 +305,10 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
     tile_row_offset + num_tile_rows) and the output holds just those rows.
     Because every record keeps its GLOBAL tile anchor, the band's
     edge-function/depth fp math is bit-identical to the single-chip
-    render — no silhouette flips at band seams.
+    render — no silhouette flips at band seams. With ``bin_band=True`` the
+    binning itself is restricted to the band's tile rows (see
+    rz.bin_triangles) so the pair sort/record build also shrinks
+    ~n_dev-fold; pair_capacity then only needs to hold the BAND's pairs.
 
     Returns (depth (H, W) f32, tid (H, W) i32[, stats]); stats (when
     with_stats) is a dict of scalars: pairs_valid, pairs_overflowed (pairs
@@ -315,8 +319,14 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
     nty = -(-height // tile_h)
     num_tiles = ntx * nty
 
-    bins = rz.bin_triangles(tris, width, height, pair_capacity,
-                            tile_h=tile_h, tile_w=TILE_W)
+    if bin_band and num_tile_rows is not None:
+        bins = rz.bin_triangles(tris, width, height, pair_capacity,
+                                tile_h=tile_h, tile_w=TILE_W,
+                                ty_lo=tile_row_offset,
+                                num_rows=num_tile_rows)
+    else:
+        bins = rz.bin_triangles(tris, width, height, pair_capacity,
+                                tile_h=tile_h, tile_w=TILE_W)
     records = build_records(tris, bins, ntx, num_tiles, tile_h, xrange)
 
     if num_tile_rows is None:

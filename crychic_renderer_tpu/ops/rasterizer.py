@@ -155,17 +155,34 @@ def _tile_bbox(tris: ScreenTris, width: int, height: int,
 
 def bin_triangles(tris: ScreenTris, width: int, height: int,
                   pair_capacity: int, tile_h: int = None,
-                  tile_w: int = None) -> Bins:
+                  tile_w: int = None, ty_lo=None,
+                  num_rows: int = None) -> Bins:
     """Exact tile binning with static shapes.
 
     Expands each triangle into (tile, tri) pairs via an exclusive-cumsum +
     searchsorted trick (no per-triangle loop, no per-triangle cap), sorts
     pairs by tile id, and returns per-tile contiguous runs.
+
+    Band restriction (multi-chip, parallel.sharded): with ``ty_lo`` (traced
+    scalar ok) + ``num_rows`` (static), only pairs whose tile row falls in
+    [ty_lo, ty_lo + num_rows) are expanded — the expansion, sort and
+    downstream record build shrink ~n_dev-fold instead of replicating the
+    full-screen binning on every device. Tile ids stay GLOBAL, and each
+    in-band tile's run holds the same triangles in the same order as the
+    full binning, so band rasterization is bit-identical.
     """
     tile_h = TILE_H if tile_h is None else tile_h
     tile_w = TILE_W if tile_w is None else tile_w
     tx0, ty0, bw, bh, ntx, nty = _tile_bbox(tris, width, height,
                                             tile_h, tile_w)
+    if ty_lo is not None:
+        lo = jnp.asarray(ty_lo, jnp.int32)
+        ty1 = ty0 + bh - 1
+        ty0 = jnp.maximum(ty0, lo)
+        bh = jnp.clip(jnp.minimum(ty1, lo + num_rows - 1) - ty0 + 1,
+                      0, None)
+        bw = jnp.where(bh > 0, bw, 0)
+        bh = jnp.where(bw > 0, bh, 0)
     num_tiles = ntx * nty
     counts = (bw * bh).astype(jnp.int32)
     offsets = jnp.cumsum(counts) - counts  # exclusive

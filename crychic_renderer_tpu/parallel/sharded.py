@@ -5,15 +5,17 @@ The reference is strictly single-GPU (SURVEY.md §2.3) — its only
 pipelining. The TPU-native scaling story is screen-space data parallelism:
 
 - mesh axis ``sp`` (screen parallel): the frame buffer is sharded by pixel
-  ROWS. Each device rasterizes the full (replicated) triangle soup into
-  its own horizontal band — rasterization is embarrassingly parallel in
-  screen space once triangle setup is replicated (setup is tiny: one
-  einsum over vertices).
-- shadow cascades are distributed over ``sp``: device d renders cascades
-  d*k .. d*k+k-1 with k = ceil(C / n_dev) (one atlas launch per device)
-  and the maps are combined with a single ``all_gather`` over ICI — every
-  device needs the full shadow maps for PCF, and C x S^2 floats
-  comfortably rides the interconnect.
+  ROWS. Each device rasterizes its own horizontal band with GLOBAL tile
+  anchors (bit-identical fp math to the single-chip render) and
+  BAND-RESTRICTED binning — the (tile, triangle) pair expansion, sort and
+  record build each cover only the band's tile rows, so the per-device
+  binning cost shrinks ~n_dev-fold instead of replicating the full-screen
+  sort on every device (only the dense per-triangle setup is replicated).
+- the cascade shadow ATLAS is itself sharded by rows over ALL devices
+  (not cascades over <= num_cascades devices): device d rasterizes atlas
+  rows [d*S/n, (d+1)*S/n) of every cascade column, and one ``all_gather``
+  assembles the full (C, S, S) stack everywhere — every device needs the
+  full maps for PCF, and C x S^2 floats comfortably rides the ICI.
 - SSAO: occlusion is band-local but its projective occluder taps sample
   the ALL-GATHERED full half-res depth map (the taps land anywhere on
   screen — Ssao.hlsl:67-69), and the view-ray/random-texture grids use
@@ -21,11 +23,23 @@ pipelining. The TPU-native scaling story is screen-space data parallelism:
   all-gathered half-res maps (dense VPU work, ~2 MB — cheaper than a
   halo exchange per blur) and each device slices its band back out, so
   sharded SSAO is bit-identical to the single-chip pass.
+- the fast-preset PCF factor (cfg.fast_shadow_factor) is computed on the
+  band's half-res rows at GLOBAL phase, all-gathered, and upsampled from
+  the full map — the same halo recipe as SSAO, so the preset stays
+  band-exact (no seams at band boundaries).
+- the AlphaTested shadow punch is distributed cascade-per-device; the
+  small punch windows are all-gathered and every device applies all of
+  them locally.
 
-Determinism note: band rendering translates screen coordinates per device,
-which changes edge-function fp rounding — coverage at triangle silhouette
-edges can flip by a sub-pixel relative to the single-chip render. Interior
-pixels match exactly.
+Any (height, n_devices) combination works: the screen is padded to
+n_dev * band_h rows (band_h = ceil(H/n_dev) aligned to the SSAO grid),
+bands render rows of the padded screen with TRUE-height NDC math, and the
+pad rows are cropped after the shard_map — 1080 rows shard 8-ways as
+8 x 136 with the last 8 rows cropped.
+
+Determinism note: visible rows are bit-identical to the single-chip
+render (global tile anchors + halo-exact resampling); only reduction-order
+fp noise remains.
 
 This module is exercised on a virtual 8-device CPU mesh in tests (both the
 XLA rasterizer and the Pallas kernel in interpreter mode) and by
@@ -35,6 +49,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -45,69 +60,198 @@ from jax import shard_map
 from ..config import RenderConfig
 from ..ops import rasterizer as rz
 from ..ops import raster_pallas as rp
+from ..ops import shadows
 from ..ops import ssao as ssao_ops
 from ..passes import frame as fr
+
+
+def band_height(cfg: RenderConfig, n_dev: int) -> int:
+    """Rows per device: ceil(H / n_dev), aligned up so every band starts
+    on an SSAO-grid (and fast-preset half-grid) phase boundary."""
+    align = 1
+    if cfg.ssao_enabled:
+        align = cfg.ssao_scale
+    if cfg.shadows_enabled and cfg.fast_shadow_factor:
+        align = align * 2 // math.gcd(align, 2)
+    bh = -(-cfg.height // n_dev)
+    return -(-bh // align) * align
+
+
+def band_capacity(full_capacity: int, n_dev: int,
+                  headroom: float = 3.0) -> int:
+    """Per-band pair capacity: the band holds ~1/n_dev of the frame's
+    pairs; 3x headroom absorbs uneven bands (a horizon band can carry a
+    multiple of the average). Multiple of TRI_BLOCK for build_records."""
+    cap = int(full_capacity * headroom) // max(n_dev, 1)
+    cap = max(1 << 13, -(-cap // rp.TRI_BLOCK) * rp.TRI_BLOCK)
+    return min(cap, full_capacity)
+
+
+def _pad_rows(img: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """Pad axis 0 to ``rows`` by repeating the last row (pad content is
+    cropped after the shard_map; only the shape must line up)."""
+    if img.shape[0] >= rows:
+        return img
+    pad = jnp.broadcast_to(img[-1:], (rows - img.shape[0],) + img.shape[1:])
+    return jnp.concatenate([img, pad], axis=0)
 
 
 def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
                       cfg: RenderConfig, n_dev: int, axis: str,
                       d) -> jnp.ndarray:
-    """Cascade-parallel shadow maps: device d renders cascades
-    d*k .. d*k+k-1 (k = ceil(C/n_dev); devices past C render redundant
-    copies that the slice below discards), then one all_gather assembles
-    the full (C, S, S) stack on every device."""
+    """Atlas-band-parallel shadow maps: the (S, C*S) atlas is sharded by
+    ROWS across all n_dev devices with band-restricted binning, then one
+    all_gather assembles the full (C, S, S) stack on every device. This
+    both uses every device (the round-2 cascade-parallel split idled
+    devices past num_cascades) and shards the shadow binning itself."""
     C = cfg.num_cascades
-    k = -(-C // n_dev)
-    my_cascades = jnp.stack([(d * k + j) % C for j in range(k)])
-    vps = consts.cascade_view_projs[my_cascades]  # (k, 4, 4)
+    S = cfg.shadow_map_size
+    sb = -(-S // n_dev)
+    S_pad = sb * n_dev
+    y0 = d * sb
+    cap = band_capacity(cfg.shadow_pair_capacity, n_dev)
+
     if cfg.use_pallas:
-        my_maps = fr.render_shadow_atlas(scene, consts.shadow_visibility,
-                                         vps, cfg)
-    else:
-        my_maps = jnp.stack([
-            fr.render_one_shadow_map(scene, consts.shadow_visibility,
-                                     vps[j], cfg) for j in range(k)])
-    all_maps = jax.lax.all_gather(my_maps, axis)  # (n_dev, k, S, S)
-    # device-major reshape puts cascade c at index c (devices past C
-    # produced duplicates of cascades (d*k+j) % C, all at indices >= C)
-    return all_maps.reshape(n_dev * k, *my_maps.shape[1:])[:C]
+        tile_h = fr.SHADOW_TILE_H
+        nty = -(-S_pad // tile_h)
+        n_rows = min(-(-(sb + tile_h) // tile_h), nty)
+        tr0 = jnp.clip(y0 // tile_h, 0, nty - n_rows)
+        local_y = y0 - tr0 * tile_h
+        tris, xrange = fr.shadow_atlas_tris(
+            scene, consts.shadow_visibility, consts.cascade_view_projs, cfg)
+        depth, _ = rp.rasterize_pallas(
+            tris, C * S, S_pad, cap, tile_h=tile_h, with_ids=False,
+            interpret=cfg.pallas_interpret, xrange=xrange,
+            tiles_per_prog=32, tile_row_offset=tr0, num_tile_rows=n_rows,
+            bin_band=True)
+        band = jax.lax.dynamic_slice_in_dim(depth, local_y, sb, axis=0)
+        full = jax.lax.all_gather(band, axis).reshape(S_pad, C * S)[:S]
+        return jnp.stack([full[:, c * S:(c + 1) * S] for c in range(C)])
+
+    # XLA path: per-cascade band renders (the single-chip XLA path renders
+    # per cascade, not the atlas — keeping the same viewport keeps the
+    # edge-function fp math bit-identical)
+    tile_h = rz.TILE_H
+    nty = -(-S_pad // tile_h)
+    n_rows = min(-(-(sb + tile_h) // tile_h), nty)
+    tr0 = jnp.clip(y0 // tile_h, 0, nty - n_rows)
+    local_y = y0 - tr0 * tile_h
+    tri_world = fr.shadow_tri_world(scene.shadow, consts.shadow_visibility)
+    from ..ops import shading
+
+    bands = []
+    for c in range(C):
+        t = rz.setup_tri_verts(
+            shading.rowmat(tri_world, consts.cascade_view_projs[c]),
+            None, S, S)
+        t = fr._shadow_bias(t)
+        bins = rz.bin_triangles(t, S, S_pad, cap, ty_lo=tr0,
+                                num_rows=n_rows)
+        depth, _ = rz.rasterize_binned(t, bins, S, S_pad,
+                                       cfg.shadow_bin_cap, with_ids=False,
+                                       tile_row_offset=tr0,
+                                       num_tile_rows=n_rows)
+        bands.append(jax.lax.dynamic_slice_in_dim(depth, local_y, sb,
+                                                  axis=0))
+    stacked = jnp.stack(bands)  # (C, sb, S)
+    full = jax.lax.all_gather(stacked, axis)  # (n_dev, C, sb, S)
+    return full.transpose(1, 0, 2, 3).reshape(C, S_pad, S)[:, :S]
+
+
+def _band_alpha_shadow(scene: fr.DeviceScene, consts: fr.FrameConstants,
+                       cfg: RenderConfig, shadow_maps, n_dev: int,
+                       axis: str, d):
+    """Distributed AT shadow punch: device d computes the punch window for
+    cascades d*k .. d*k+k-1 (k = ceil(C/n_dev)), the small windows are
+    all-gathered, and every device min-merges all of them locally —
+    identical per-cascade math to the single-chip alpha_merge_shadow."""
+    C = shadow_maps.shape[0]
+    k = -(-C // n_dev)
+    tri_world, uv_tri, mat_tri = fr.alpha_shadow_geom(scene, consts)
+    azs, aids, oys, oxs = [], [], [], []
+    for j in range(k):
+        c = (d * k + j) % C
+        az, aid, oy, ox = fr.alpha_punch_window(
+            scene, cfg, tri_world, uv_tri, mat_tri,
+            consts.cascade_view_projs[c])
+        azs.append(az)
+        aids.append(aid)
+        oys.append(oy)
+        oxs.append(ox)
+
+    def gather(parts):
+        x = jnp.stack(parts)  # (k, ...)
+        g = jax.lax.all_gather(x, axis)  # (n_dev, k, ...)
+        return g.reshape((n_dev * k,) + x.shape[1:])[:C]
+
+    az, aid, oy, ox = (gather(azs), gather(aids), gather(oys), gather(oxs))
+    return jnp.stack([
+        fr.alpha_apply_punch(shadow_maps[c], az[c], aid[c], oy[c], ox[c])
+        for c in range(C)])
 
 
 def _band_ssao(scene: fr.DeviceScene, consts: fr.FrameConstants,
                cfg: RenderConfig, normal_v, depth, n_dev: int, axis: str,
                d, band_h: int):
     """Band-exact SSAO (see module doc): band-local occlusion with
-    all-gathered tap depth, replicated blur, slice own band."""
+    all-gathered tap depth, replicated blur, slice own band. The gathered
+    maps are sliced to the TRUE ssao height before tap sampling and blur,
+    so padded bands (height not divisible by n_dev) stay bit-exact."""
     n_half, d_half = fr.ssao_inputs_half(cfg, normal_v, depth)
-    bh = band_h // cfg.ssao_scale  # band rows at SSAO res
-    d_half_full = jax.lax.all_gather(d_half, axis).reshape(
+    bh = band_h // cfg.ssao_scale
+    true_h = cfg.ssao_height
+    d_half_all = jax.lax.all_gather(d_half, axis).reshape(
         n_dev * bh, d_half.shape[1])
     band_field = jax.lax.dynamic_slice_in_dim(
         scene.ssao_random_field, d * bh, bh, axis=0)
     access = ssao_ops.ssao_occlusion(
         n_half, d_half, consts.proj, consts.inv_proj,
         scene.ssao_offsets, random_field=band_field,
-        tap_depth=d_half_full, row_offset=d * bh,
-        full_height=n_dev * bh)
+        tap_depth=d_half_all[:true_h], row_offset=d * bh,
+        full_height=true_h)
     # blur on the full half-res maps (replicated; exact cross-band halos)
     access_full = jax.lax.all_gather(access, axis).reshape(
-        n_dev * bh, access.shape[1])
+        n_dev * bh, access.shape[1])[:true_h]
     n_half_full = jax.lax.all_gather(n_half, axis).reshape(
-        n_dev * bh, *n_half.shape[1:])
+        n_dev * bh, *n_half.shape[1:])[:true_h]
     access_full = fr.ssao_blur(scene, consts, cfg, access_full, n_half_full,
-                               d_half_full)
+                               d_half_all[:true_h])
     # upsample the FULL map then slice the band: bilinear edge handling at
     # band seams matches the single-chip upsample exactly
     up = fr._upsample_bilinear(access_full, cfg.height, cfg.width)
+    up = _pad_rows(up, band_h * n_dev)
     return jax.lax.dynamic_slice_in_dim(up, d * band_h, band_h, axis=0)
 
 
+def _band_fast_shadow_factor(scene: fr.DeviceScene,
+                             consts: fr.FrameConstants, cfg: RenderConfig,
+                             pos_w, shadow_maps, n_dev: int, axis: str,
+                             d, band_h: int):
+    """Band-exact fast-preset PCF: evaluate the half-res factor on the
+    band's GLOBAL-phase rows (band_h is even by construction), all_gather,
+    upsample the full map, slice the band — same halo recipe as SSAO."""
+    sf_local = shadows.cascade_shadow_factor(
+        shadow_maps, consts.shadow_transforms, pos_w[::2, ::2],
+        consts.eye_pos, cfg.shadow_map_size,
+        deferred_blend_quirk=cfg.deferred)
+    bh2 = band_h // 2
+    sf_all = jax.lax.all_gather(sf_local, axis).reshape(
+        n_dev * bh2, sf_local.shape[1])
+    true_h2 = (cfg.height + 1) // 2
+    sf_full = fr._upsample_bilinear(sf_all[:true_h2], cfg.height, cfg.width)
+    sf_full = _pad_rows(sf_full, band_h * n_dev)
+    return jax.lax.dynamic_slice_in_dim(sf_full, d * band_h, band_h, axis=0)
+
+
 def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
-                 cfg: RenderConfig, n_dev: int, axis: str):
-    """Per-device body: render this device's pixel band (full pipeline)."""
+                 cfg: RenderConfig, n_dev: int, axis: str, band_h: int):
+    """Per-device body: render this device's pixel band (full pipeline).
+    The band covers rows [d*band_h, (d+1)*band_h) of an n_dev*band_h-row
+    PADDED screen; all NDC/viewport math uses the TRUE cfg.height, so pad
+    rows (>= cfg.height) hold don't-care values cropped by the caller."""
     d = jax.lax.axis_index(axis)
-    band_h = cfg.height // n_dev
     H, W = cfg.height, cfg.width
+    H_pad = band_h * n_dev
 
     if cfg.shadows_enabled:
         shadow_maps = _band_shadow_maps(scene, consts, cfg, n_dev, axis, d)
@@ -116,24 +260,28 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
 
     # ---- main band: rasterize this device's tile rows of the FULL screen
     # (global tile anchors -> bit-identical fp math to the single-chip
-    # render; no silhouette flips at band seams)
+    # render; no silhouette flips at band seams), with band-restricted
+    # binning (the pair sort covers only this band's tile rows)
     tris, tri_attr = fr.main_view_tris(scene, consts, cfg)
     y0 = d * band_h  # first band pixel row (traced)
     tile_h = rp.TILE_H if cfg.use_pallas else rz.TILE_H
-    nty = -(-H // tile_h)
+    nty = -(-H_pad // tile_h)
     # static covering-tile-row count: enough rows for any band alignment
     # PLUS one halo pixel row below the band (uv derivatives at the seam)
     n_rows = min(-(-(band_h + tile_h) // tile_h), nty)
     tr0 = jnp.clip(y0 // tile_h, 0, nty - n_rows)
     band_cfg = dataclasses.replace(cfg, height=band_h)
+    cap = band_capacity(cfg.pair_capacity, n_dev)
     if cfg.use_pallas:
-        depth, tid = rp.rasterize_pallas(tris, W, H, cfg.pair_capacity,
+        depth, tid = rp.rasterize_pallas(tris, W, H_pad, cap,
                                          interpret=cfg.pallas_interpret,
                                          tile_row_offset=tr0,
-                                         num_tile_rows=n_rows)
+                                         num_tile_rows=n_rows,
+                                         bin_band=True)
     else:
-        bins = rz.bin_triangles(tris, W, H, cfg.pair_capacity)
-        depth, tid = rz.rasterize_binned(tris, bins, W, H, cfg.bin_cap,
+        bins = rz.bin_triangles(tris, W, H_pad, cap, ty_lo=tr0,
+                                num_rows=n_rows)
+        depth, tid = rz.rasterize_binned(tris, bins, W, H_pad, cfg.bin_cap,
                                          tile_row_offset=tr0,
                                          num_tile_rows=n_rows)
     # slice the band + 1 halo row (the slab is extended by one duplicate
@@ -153,8 +301,8 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
             scene, consts, cfg, depth, tid, tris, tri_attr,
             row_offset=y0.astype(jnp.float32))
         if cfg.shadows_enabled:
-            shadow_maps = fr.alpha_merge_shadow(scene, consts, cfg,
-                                                shadow_maps)
+            shadow_maps = _band_alpha_shadow(scene, consts, cfg,
+                                             shadow_maps, n_dev, axis, d)
 
     g = fr.resolve_gbuffer(scene, consts, band_cfg, tris, depth, tid,
                            tri_attr, row_offset=y0, full_height=H,
@@ -167,24 +315,40 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
     else:
         ambient_access = jnp.ones((band_h, W), jnp.float32)
 
+    sf = None
+    if cfg.shadows_enabled and cfg.fast_shadow_factor:
+        sf = _band_fast_shadow_factor(scene, consts, cfg, g["pos_w"],
+                                      shadow_maps, n_dev, axis, d, band_h)
+
     img = fr.lighting_pass(scene, consts, band_cfg, g, shadow_maps,
                            ambient_access, depth,
                            row_offset=(d * band_h).astype(jnp.float32),
-                           full_height=H)
+                           full_height=H, shadow_factor=sf)
     return img
 
 
 def render_frame_sharded(scene: fr.DeviceScene, consts: fr.FrameConstants,
                          cfg: RenderConfig, mesh: Mesh,
                          axis: str = "sp") -> jnp.ndarray:
-    """Full frame over an n-device mesh; returns (H, W, 4) sharded by rows."""
+    """Full frame over an n-device mesh; returns (H, W, 4) sharded by rows.
+
+    Works for ANY (height, n_devices): bands are padded to an aligned
+    height and the pad rows cropped (see module doc)."""
     n_dev = mesh.shape[axis]
-    assert cfg.height % n_dev == 0, "height must divide across devices"
-    assert (cfg.height // n_dev) % cfg.ssao_scale == 0 or \
-        not cfg.ssao_enabled, "band height must divide by ssao_scale"
+    band_h = band_height(cfg, n_dev)
+    H_pad = band_h * n_dev
+    if cfg.ssao_enabled:
+        # padded bands index SSAO random-field rows past the true height;
+        # extend the (frame-constant) field with don't-care edge rows
+        need = H_pad // cfg.ssao_scale
+        field = scene.ssao_random_field
+        if field.shape[0] < need:
+            scene = dataclasses.replace(
+                scene, ssao_random_field=_pad_rows(field, need))
 
     fn = shard_map(
-        functools.partial(_band_render, cfg=cfg, n_dev=n_dev, axis=axis),
+        functools.partial(_band_render, cfg=cfg, n_dev=n_dev, axis=axis,
+                          band_h=band_h),
         mesh=mesh,
         in_specs=(P(), P()),  # scene + consts replicated
         out_specs=P(axis),  # image sharded by rows
@@ -192,7 +356,8 @@ def render_frame_sharded(scene: fr.DeviceScene, consts: fr.FrameConstants,
         # (band depends on axis_index); skip the vma check
         check_vma=False,
     )
-    return fn(scene, consts)
+    img = fn(scene, consts)
+    return img[:cfg.height] if H_pad != cfg.height else img
 
 
 def make_mesh(n_devices: int = None, axis: str = "sp") -> Mesh:

@@ -286,15 +286,14 @@ def _shadow_bias(tris):
     return tris._replace(z=jnp.clip(tris.z + bias[:, None], 0.0, 1.0))
 
 
-def render_shadow_atlas(scene: DeviceScene, shadow_visibility,
-                        vps: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
-    """The given cascades rasterized in ONE pass into a horizontal
-    (S, k*S) atlas (one binning + one kernel launch instead of k), then
-    split to (k, S, S). The D3D12 reference records k sequential depth
-    passes (DrawSceneToShadowMap, CRYCHIC.cpp:2479); on TPU a single wider
-    launch amortizes binning and keeps the kernel grid busy.
-
-    vps: (k, 4, 4) light view-proj per cascade (k static)."""
+def shadow_atlas_tris(scene: DeviceScene, shadow_visibility,
+                      vps: jnp.ndarray, cfg: RenderConfig):
+    """Screen-space triangle setup for the (S, k*S) cascade atlas: every
+    cascade's projected triangles, xy shifted into its atlas column, with
+    the shadow PSO depth bias applied. Returns (tris, xrange) where xrange
+    is the per-triangle column guard — a triangle extending past its
+    cascade's viewport must not rasterize into the neighbor's atlas column
+    (the per-cascade path gets this from its own viewport bounds)."""
     S = cfg.shadow_map_size
     k = vps.shape[0]
     tri_world = shadow_tri_world(scene.shadow, shadow_visibility)
@@ -312,12 +311,23 @@ def render_shadow_atlas(scene: DeviceScene, shadow_visibility,
         valid=jnp.concatenate([t.valid for t in tris_list]),
     )
     tris = _shadow_bias(tris)
-    # per-triangle column guard: a triangle extending past its cascade's
-    # viewport must not rasterize into the neighbor's atlas column (the
-    # per-cascade path gets this from its own viewport bounds)
     T1 = tris.xy.shape[0] // k
     col = jnp.repeat(jnp.arange(k, dtype=jnp.float32), T1)
-    xrange = (col * S, (col + 1) * S)
+    return tris, (col * S, (col + 1) * S)
+
+
+def render_shadow_atlas(scene: DeviceScene, shadow_visibility,
+                        vps: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
+    """The given cascades rasterized in ONE pass into a horizontal
+    (S, k*S) atlas (one binning + one kernel launch instead of k), then
+    split to (k, S, S). The D3D12 reference records k sequential depth
+    passes (DrawSceneToShadowMap, CRYCHIC.cpp:2479); on TPU a single wider
+    launch amortizes binning and keeps the kernel grid busy.
+
+    vps: (k, 4, 4) light view-proj per cascade (k static)."""
+    S = cfg.shadow_map_size
+    k = vps.shape[0]
+    tris, xrange = shadow_atlas_tris(scene, shadow_visibility, vps, cfg)
     # 8-row tiles: with the flat-streaming kernel, per-tile overhead is
     # amortized across each program's contiguous pair range, so smaller
     # tiles win — each pair block's (TB, 4P) plane evaluation is 4x
@@ -546,11 +556,14 @@ def _upsample_bilinear(img: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
 def lighting_pass(scene: DeviceScene, consts: FrameConstants,
                   cfg: RenderConfig, g: dict, shadow_maps, ambient_access,
                   depth: jnp.ndarray, row_offset=0,
-                  full_height: int = None) -> jnp.ndarray:
+                  full_height: int = None,
+                  shadow_factor=None) -> jnp.ndarray:
     """Deferred PBR lighting (DeferredShading.hlsl PS) + sky.
 
     row_offset/full_height support band rendering (parallel.sharded): the
-    sky-ray NDC y must come from the GLOBAL pixel row.
+    sky-ray NDC y must come from the GLOBAL pixel row. shadow_factor
+    ((H, W), optional) overrides the internal PCF evaluation — the sharded
+    fast preset computes it with cross-band halos for band-exactness.
     """
     H, W = depth.shape
     if full_height is None:
@@ -567,7 +580,9 @@ def lighting_pass(scene: DeviceScene, consts: FrameConstants,
                * albedo)
 
     if cfg.shadows_enabled:
-        if cfg.fast_shadow_factor:
+        if shadow_factor is not None:
+            sf = shadow_factor
+        elif cfg.fast_shadow_factor:
             # performance mode: evaluate the (smooth) PCF factor on a
             # half-res grid and upsample — the 16-tap filter is already a
             # blur, so the quality cost is at shadow silhouettes only
@@ -793,19 +808,12 @@ def alpha_merge_main(scene: DeviceScene, consts: FrameConstants,
     return depth, tid, tris, tri_attr
 
 
-def alpha_merge_shadow(scene: DeviceScene, consts: FrameConstants,
-                       cfg: RenderConfig, shadow_maps):
-    """Punch the AlphaTested casters into the cascade shadow maps
-    (Shadows.hlsl ALPHA_TEST PS, :49-65): per cascade, depth-peel the AT
-    triangles inside a statically-sized window positioned over the
-    layer's light-space bounding box and min-merge passing fragments."""
-    S = cfg.shadow_map_size
-    Wn = min(cfg.alpha_shadow_window, S)
+def alpha_shadow_geom(scene: DeviceScene, consts: FrameConstants):
+    """Cascade-independent inputs of the AT shadow punch, computed once:
+    per-triangle world-space vertices plus the per-vertex uv (same
+    transform chain as vertex_stage) gathered to triangles."""
     draw = scene.alpha
     tri_world = shadow_tri_world(draw, consts.alpha_visibility)
-
-    # light-space-independent per-vertex uv (same transform chain as
-    # vertex_stage), gathered to triangles once for all cascades
     uvh = jnp.concatenate(
         [draw.uvs, jnp.zeros_like(draw.uvs[..., :1]),
          jnp.ones_like(draw.uvs[..., :1])], axis=-1)
@@ -815,29 +823,55 @@ def alpha_merge_shadow(scene: DeviceScene, consts: FrameConstants,
     tri_idx = draw.indices.reshape(-1, 3)
     uv_tri = uv[tri_idx]
     mat_tri = draw.material_indices[draw.vertex_instance][tri_idx[:, 0]]
+    return tri_world, uv_tri, mat_tri
 
+
+def alpha_punch_window(scene: DeviceScene, cfg: RenderConfig, tri_world,
+                       uv_tri, mat_tri, vp):
+    """One cascade's AT punch data: depth-peel the AT triangles inside a
+    statically-sized window positioned over the layer's light-space
+    bounding box. Returns (az (Wn, Wn), aid (Wn, Wn) int32, oy, ox) — the
+    shadow map is NOT read, so this can run on a different device than the
+    merge (parallel.sharded distributes cascades)."""
+    S = cfg.shadow_map_size
+    Wn = min(cfg.alpha_shadow_window, S)
+    t = rz.setup_tri_verts(shading.rowmat(tri_world, vp), None, S, S)
+    t = _shadow_bias(t)
+    vx = jnp.where(t.valid[:, None, None], t.xy, jnp.inf)
+    ox = jnp.clip(jnp.floor(vx[..., 0].min()).astype(jnp.int32) - 1,
+                  0, S - Wn)
+    oy = jnp.clip(jnp.floor(vx[..., 1].min()).astype(jnp.int32) - 1,
+                  0, S - Wn)
+    px = (ox.astype(jnp.float32)
+          + jnp.arange(Wn, dtype=jnp.float32) + 0.5)[None, :]
+    py = (oy.astype(jnp.float32)
+          + jnp.arange(Wn, dtype=jnp.float32) + 0.5)[:, None]
+    az, aid = _alpha_peel(t, uv_tri, mat_tri, scene, px, py,
+                          cfg.alpha_peels, cfg.alpha_clip)
+    return az, aid, oy, ox
+
+
+def alpha_apply_punch(shadow_map, az, aid, oy, ox):
+    """Min-merge one cascade's punch window into its (S, S) shadow map."""
+    Wn = az.shape[0]
+    window = jax.lax.dynamic_slice(shadow_map, (oy, ox), (Wn, Wn))
+    merged = jnp.where(aid >= 0, jnp.minimum(window, az), window)
+    return jax.lax.dynamic_update_slice(shadow_map, merged, (oy, ox))
+
+
+def alpha_merge_shadow(scene: DeviceScene, consts: FrameConstants,
+                       cfg: RenderConfig, shadow_maps):
+    """Punch the AlphaTested casters into the cascade shadow maps
+    (Shadows.hlsl ALPHA_TEST PS, :49-65): per cascade, depth-peel the AT
+    triangles inside a statically-sized window positioned over the
+    layer's light-space bounding box and min-merge passing fragments."""
+    tri_world, uv_tri, mat_tri = alpha_shadow_geom(scene, consts)
     out = []
     for c in range(shadow_maps.shape[0]):
-        t = rz.setup_tri_verts(
-            shading.rowmat(tri_world, consts.cascade_view_projs[c]),
-                               None, S, S)
-        t = _shadow_bias(t)
-        # static window over the layer's light-space bbox
-        vx = jnp.where(t.valid[:, None, None], t.xy, jnp.inf)
-        ox = jnp.clip(jnp.floor(vx[..., 0].min()).astype(jnp.int32) - 1,
-                      0, S - Wn)
-        oy = jnp.clip(jnp.floor(vx[..., 1].min()).astype(jnp.int32) - 1,
-                      0, S - Wn)
-        px = (ox.astype(jnp.float32)
-              + jnp.arange(Wn, dtype=jnp.float32) + 0.5)[None, :]
-        py = (oy.astype(jnp.float32)
-              + jnp.arange(Wn, dtype=jnp.float32) + 0.5)[:, None]
-        az, aid = _alpha_peel(t, uv_tri, mat_tri, scene, px, py,
-                              cfg.alpha_peels, cfg.alpha_clip)
-        window = jax.lax.dynamic_slice(shadow_maps[c], (oy, ox), (Wn, Wn))
-        merged = jnp.where(aid >= 0, jnp.minimum(window, az), window)
-        out.append(jax.lax.dynamic_update_slice(shadow_maps[c], merged,
-                                                (oy, ox)))
+        az, aid, oy, ox = alpha_punch_window(
+            scene, cfg, tri_world, uv_tri, mat_tri,
+            consts.cascade_view_projs[c])
+        out.append(alpha_apply_punch(shadow_maps[c], az, aid, oy, ox))
     return jnp.stack(out)
 
 
@@ -930,7 +964,12 @@ def render_frame(scene: DeviceScene, consts: FrameConstants,
     img = lighting_pass(scene, consts, cfg, g, shadow_maps, ambient_access,
                         depth)
 
-    if cfg.debug_view == "shadow_cascade3":
+    draw_quad = cfg.debug_view == "shadow_cascade3" or (
+        # the reference's FORWARD branch always draws the shadow-map blit
+        # quad (CRYCHIC.cpp:406-407, PSO "debug"); replicate that default
+        # whenever the forward path has shadow maps to show
+        not cfg.deferred and cfg.shadows_enabled and cfg.debug_view is None)
+    if draw_quad:
         # ShadowDebug.hlsl: blit gShadowMap[3] onto the debug quad, which
         # CreateQuad(0,0,1,1,0) places in the bottom-right screen quadrant
         qh, qw = H // 2, W // 2

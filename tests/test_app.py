@@ -68,3 +68,42 @@ def test_viewer_scripted_pause_key():
         "--config", "1", "--small", "--script", "w w", "--no-draw",
     ])
     assert frames == 3
+
+
+def test_viewer_step_fn_display_and_capacity():
+    """viewer_step_fn returns a display-sized uint8 image (the tiny
+    transfer the pipelined viewer fetches) plus the frame's EXACT pair
+    counts (same numbers as capacity_requirements) — the overflow guard
+    the viewer raises from."""
+    import numpy as np
+    from crychic_renderer_tpu.config import RenderConfig
+    from crychic_renderer_tpu.app.renderer import Renderer
+    from crychic_renderer_tpu.models import geometry as gg
+    from crychic_renderer_tpu.models.materials import Material
+    from crychic_renderer_tpu.models.scene import LAYER_OPAQUE, make_item
+    from crychic_renderer_tpu.models.scenes_baseline import _scene_from_items
+    from crychic_renderer_tpu.utils import mathutil as mu
+
+    mats = [Material("m", 0, 0, 1, (1, 1, 1, 1), (0.1, 0.1, 0.1), 0.4)]
+    items = [make_item("box", gg.create_box(2, 2, 2, 0), LAYER_OPAQUE,
+                       mu.translation(0.0, 1.0, 0.0))]
+    scene = _scene_from_items(items, mats, [
+        "white1x1", "default_nmap", "white1x1", "default_nmap",
+        "white1x1", "default_nmap", "sky_cube", "default_nmap",
+        "white1x1", "white1x1"])
+    r = Renderer(scene, RenderConfig(
+        width=128, height=64, shadow_map_size=128,
+        ssao_enabled=True, shadows_enabled=True))
+    step = r.viewer_step_fn(16, 32)
+    disp, mp, sp = step(r.device_scene, r.frame_constants(0.0))
+    assert disp.shape == (16, 32, 3) and str(disp.dtype) == "uint8"
+    req = r.capacity_requirements(0.0)
+    assert int(mp) == req["main_pairs"]
+    assert int(sp) == req["shadow_pairs"]
+    assert int(mp) <= r.cfg.pair_capacity  # auto-sized with headroom
+    # the display image matches the full render downsampled
+    full = np.asarray(r.render(0.0))
+    ys = np.linspace(0, 63, 16).astype(int)
+    xs = np.linspace(0, 127, 32).astype(int)
+    want = (np.clip(full[ys][:, xs, :3], 0, 1) * 255 + 0.5).astype(np.uint8)
+    assert np.abs(np.asarray(disp).astype(int) - want.astype(int)).max() <= 1

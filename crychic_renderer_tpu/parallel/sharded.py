@@ -96,9 +96,37 @@ def _pad_rows(img: jnp.ndarray, rows: int) -> jnp.ndarray:
     return jnp.concatenate([img, pad], axis=0)
 
 
+class _Comm:
+    """The band pipeline's collective surface. The real path all_gathers
+    over the mesh axis; the timing harness
+    (experiments/sharded_band_timing.py) runs ONE band on ONE chip with
+    ``sim_index`` set, where all_gather becomes an n_dev-fold tile of the
+    local shard — same output shape and HBM write volume as the real
+    collective's receive buffer (the ICI transfer itself is not modeled;
+    the harness budgets it separately from byte counts). This is what
+    makes a per-device timing of the ACTUAL band code path possible with
+    one physical chip behind the tunnel."""
+
+    def __init__(self, axis: str, n_dev: int, sim_index=None):
+        self.axis = axis
+        self.n_dev = n_dev
+        self.sim_index = sim_index
+
+    def index(self):
+        if self.sim_index is None:
+            return jax.lax.axis_index(self.axis)
+        return jnp.int32(self.sim_index)
+
+    def all_gather(self, x):
+        """(…) -> (n_dev, …) stacked over devices."""
+        if self.sim_index is None:
+            return jax.lax.all_gather(x, self.axis)
+        return jnp.concatenate(
+            [x[None]] * self.n_dev, axis=0)
+
+
 def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
-                      cfg: RenderConfig, n_dev: int, axis: str,
-                      d) -> jnp.ndarray:
+                      cfg: RenderConfig, comm: _Comm, d) -> jnp.ndarray:
     """Atlas-band-parallel shadow maps: the (S, C*S) atlas is sharded by
     ROWS across all n_dev devices with band-restricted binning, then one
     all_gather assembles the full (C, S, S) stack on every device. This
@@ -106,6 +134,7 @@ def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
     devices past num_cascades) and shards the shadow binning itself."""
     C = cfg.num_cascades
     S = cfg.shadow_map_size
+    n_dev = comm.n_dev
     sb = -(-S // n_dev)
     S_pad = sb * n_dev
     y0 = d * sb
@@ -125,7 +154,7 @@ def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
             tiles_per_prog=32, tile_row_offset=tr0, num_tile_rows=n_rows,
             bin_band=True)
         band = jax.lax.dynamic_slice_in_dim(depth, local_y, sb, axis=0)
-        full = jax.lax.all_gather(band, axis).reshape(S_pad, C * S)[:S]
+        full = comm.all_gather(band).reshape(S_pad, C * S)[:S]
         return jnp.stack([full[:, c * S:(c + 1) * S] for c in range(C)])
 
     # XLA path: per-cascade band renders (the single-chip XLA path renders
@@ -154,18 +183,18 @@ def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
         bands.append(jax.lax.dynamic_slice_in_dim(depth, local_y, sb,
                                                   axis=0))
     stacked = jnp.stack(bands)  # (C, sb, S)
-    full = jax.lax.all_gather(stacked, axis)  # (n_dev, C, sb, S)
+    full = comm.all_gather(stacked)  # (n_dev, C, sb, S)
     return full.transpose(1, 0, 2, 3).reshape(C, S_pad, S)[:, :S]
 
 
 def _band_alpha_shadow(scene: fr.DeviceScene, consts: fr.FrameConstants,
-                       cfg: RenderConfig, shadow_maps, n_dev: int,
-                       axis: str, d):
+                       cfg: RenderConfig, shadow_maps, comm: _Comm, d):
     """Distributed AT shadow punch: device d computes the punch window for
     cascades d*k .. d*k+k-1 (k = ceil(C/n_dev)), the small windows are
     all-gathered, and every device min-merges all of them locally —
     identical per-cascade math to the single-chip alpha_merge_shadow."""
     C = shadow_maps.shape[0]
+    n_dev = comm.n_dev
     k = -(-C // n_dev)
     tri_world, uv_tri, mat_tri = fr.alpha_shadow_geom(scene, consts)
     azs, aids, oys, oxs = [], [], [], []
@@ -181,7 +210,7 @@ def _band_alpha_shadow(scene: fr.DeviceScene, consts: fr.FrameConstants,
 
     def gather(parts):
         x = jnp.stack(parts)  # (k, ...)
-        g = jax.lax.all_gather(x, axis)  # (n_dev, k, ...)
+        g = comm.all_gather(x)  # (n_dev, k, ...)
         return g.reshape((n_dev * k,) + x.shape[1:])[:C]
 
     az, aid, oy, ox = (gather(azs), gather(aids), gather(oys), gather(oxs))
@@ -191,16 +220,17 @@ def _band_alpha_shadow(scene: fr.DeviceScene, consts: fr.FrameConstants,
 
 
 def _band_ssao(scene: fr.DeviceScene, consts: fr.FrameConstants,
-               cfg: RenderConfig, normal_v, depth, n_dev: int, axis: str,
+               cfg: RenderConfig, normal_v, depth, comm: _Comm,
                d, band_h: int):
     """Band-exact SSAO (see module doc): band-local occlusion with
     all-gathered tap depth, replicated blur, slice own band. The gathered
     maps are sliced to the TRUE ssao height before tap sampling and blur,
     so padded bands (height not divisible by n_dev) stay bit-exact."""
     n_half, d_half = fr.ssao_inputs_half(cfg, normal_v, depth)
+    n_dev = comm.n_dev
     bh = band_h // cfg.ssao_scale
     true_h = cfg.ssao_height
-    d_half_all = jax.lax.all_gather(d_half, axis).reshape(
+    d_half_all = comm.all_gather(d_half).reshape(
         n_dev * bh, d_half.shape[1])
     band_field = jax.lax.dynamic_slice_in_dim(
         scene.ssao_random_field, d * bh, bh, axis=0)
@@ -210,9 +240,9 @@ def _band_ssao(scene: fr.DeviceScene, consts: fr.FrameConstants,
         tap_depth=d_half_all[:true_h], row_offset=d * bh,
         full_height=true_h)
     # blur on the full half-res maps (replicated; exact cross-band halos)
-    access_full = jax.lax.all_gather(access, axis).reshape(
+    access_full = comm.all_gather(access).reshape(
         n_dev * bh, access.shape[1])[:true_h]
-    n_half_full = jax.lax.all_gather(n_half, axis).reshape(
+    n_half_full = comm.all_gather(n_half).reshape(
         n_dev * bh, *n_half.shape[1:])[:true_h]
     access_full = fr.ssao_blur(scene, consts, cfg, access_full, n_half_full,
                                d_half_all[:true_h])
@@ -225,7 +255,7 @@ def _band_ssao(scene: fr.DeviceScene, consts: fr.FrameConstants,
 
 def _band_fast_shadow_factor(scene: fr.DeviceScene,
                              consts: fr.FrameConstants, cfg: RenderConfig,
-                             pos_w, shadow_maps, n_dev: int, axis: str,
+                             pos_w, shadow_maps, comm: _Comm,
                              d, band_h: int):
     """Band-exact fast-preset PCF: evaluate the half-res factor on the
     band's GLOBAL-phase rows (band_h is even by construction), all_gather,
@@ -234,8 +264,9 @@ def _band_fast_shadow_factor(scene: fr.DeviceScene,
         shadow_maps, consts.shadow_transforms, pos_w[::2, ::2],
         consts.eye_pos, cfg.shadow_map_size,
         deferred_blend_quirk=cfg.deferred)
+    n_dev = comm.n_dev
     bh2 = band_h // 2
-    sf_all = jax.lax.all_gather(sf_local, axis).reshape(
+    sf_all = comm.all_gather(sf_local).reshape(
         n_dev * bh2, sf_local.shape[1])
     true_h2 = (cfg.height + 1) // 2
     sf_full = fr._upsample_bilinear(sf_all[:true_h2], cfg.height, cfg.width)
@@ -244,17 +275,18 @@ def _band_fast_shadow_factor(scene: fr.DeviceScene,
 
 
 def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
-                 cfg: RenderConfig, n_dev: int, axis: str, band_h: int):
+                 cfg: RenderConfig, comm: _Comm, band_h: int):
     """Per-device body: render this device's pixel band (full pipeline).
     The band covers rows [d*band_h, (d+1)*band_h) of an n_dev*band_h-row
     PADDED screen; all NDC/viewport math uses the TRUE cfg.height, so pad
     rows (>= cfg.height) hold don't-care values cropped by the caller."""
-    d = jax.lax.axis_index(axis)
+    d = comm.index()
+    n_dev = comm.n_dev
     H, W = cfg.height, cfg.width
     H_pad = band_h * n_dev
 
     if cfg.shadows_enabled:
-        shadow_maps = _band_shadow_maps(scene, consts, cfg, n_dev, axis, d)
+        shadow_maps = _band_shadow_maps(scene, consts, cfg, comm, d)
     else:
         shadow_maps = jnp.ones((cfg.num_cascades, 2, 2), jnp.float32)
 
@@ -302,7 +334,7 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
             row_offset=y0.astype(jnp.float32))
         if cfg.shadows_enabled:
             shadow_maps = _band_alpha_shadow(scene, consts, cfg,
-                                             shadow_maps, n_dev, axis, d)
+                                             shadow_maps, comm, d)
 
     g = fr.resolve_gbuffer(scene, consts, band_cfg, tris, depth, tid,
                            tri_attr, row_offset=y0, full_height=H,
@@ -311,14 +343,14 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
 
     if cfg.ssao_enabled:
         ambient_access = _band_ssao(scene, consts, cfg, g["normal_v"],
-                                    depth, n_dev, axis, d, band_h)
+                                    depth, comm, d, band_h)
     else:
         ambient_access = jnp.ones((band_h, W), jnp.float32)
 
     sf = None
     if cfg.shadows_enabled and cfg.fast_shadow_factor:
         sf = _band_fast_shadow_factor(scene, consts, cfg, g["pos_w"],
-                                      shadow_maps, n_dev, axis, d, band_h)
+                                      shadow_maps, comm, d, band_h)
 
     img = fr.lighting_pass(scene, consts, band_cfg, g, shadow_maps,
                            ambient_access, depth,
@@ -347,8 +379,8 @@ def render_frame_sharded(scene: fr.DeviceScene, consts: fr.FrameConstants,
                 scene, ssao_random_field=_pad_rows(field, need))
 
     fn = shard_map(
-        functools.partial(_band_render, cfg=cfg, n_dev=n_dev, axis=axis,
-                          band_h=band_h),
+        functools.partial(_band_render, cfg=cfg,
+                          comm=_Comm(axis, n_dev), band_h=band_h),
         mesh=mesh,
         in_specs=(P(), P()),  # scene + consts replicated
         out_specs=P(axis),  # image sharded by rows

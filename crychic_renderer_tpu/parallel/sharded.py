@@ -58,6 +58,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..config import RenderConfig
+from ..ops import clipping
 from ..ops import rasterizer as rz
 from ..ops import raster_pallas as rp
 from ..ops import shadows
@@ -125,6 +126,80 @@ class _Comm:
             [x[None]] * self.n_dev, axis=0)
 
 
+def _chunk_gather_rows(comm: _Comm, d, table: jnp.ndarray,
+                       idx: jnp.ndarray):
+    """Triangle-sharded row gather: device d gathers rows ``idx[d*k ..
+    (d+1)*k)`` from ``table`` and one all_gather reassembles the full
+    ``table[idx]``. The per-row gather latency (the expensive part of the
+    geometry front end — ~3 rows per triangle) is paid once across the
+    mesh instead of replicated per device. Returns (full (N, ...), k)."""
+    n = comm.n_dev
+    N = idx.shape[0]
+    k = -(-N // n)
+    idx_p = jnp.pad(idx, [(0, n * k - N)] + [(0, 0)] * (idx.ndim - 1))
+    chunk = jax.lax.dynamic_slice_in_dim(idx_p, d * k, k, axis=0)
+    part = table[chunk]
+    full = comm.all_gather(part).reshape((n * k,) + part.shape[1:])[:N]
+    return full, k
+
+
+def _band_main_view_tris(scene: fr.DeviceScene, consts: fr.FrameConstants,
+                         cfg: RenderConfig, comm: _Comm, d):
+    """Triangle-sharded main-view front end (the round-2 Amdahl term
+    past ~16 chips): the per-vertex stage stays replicated (dense math +
+    V-row gathers, small), but the 3-row-per-triangle attribute gather and
+    the near-plane clip are computed for a 1/n_dev triangle range per
+    device and all_gathered — the reassembled tables are bit-identical to
+    the replicated fr.main_view_tris, so every downstream consumer
+    (binning, resolve via tid indices) is unchanged."""
+    n = comm.n_dev
+    if n == 1:
+        return fr.main_view_tris(scene, consts, cfg)
+    pos_w, nrm_w, tan_w, uv, clip = fr.vertex_stage(
+        scene.opaque, consts.opaque_visibility, consts.view_proj,
+        scene.mat_transform)
+    vrec = fr.vertex_records(scene.opaque, pos_w, nrm_w, tan_w, uv, clip)
+    tri_idx = scene.opaque.indices.reshape(-1, 3)
+    T = tri_idx.shape[0]
+    k = -(-T // n)
+    idx_p = jnp.pad(tri_idx, ((0, n * k - T), (0, 0)))
+    chunk = jax.lax.dynamic_slice_in_dim(idx_p, d * k, k, axis=0)
+    a = vrec[chunk]  # (k, 3, 16) — the sharded gather
+    valid0 = (d * k + jnp.arange(k, dtype=jnp.int32)) < T
+    a2, valid = clipping.clip_near(a, valid0)  # (2k, ...): k mains+k extras
+    g = comm.all_gather(a2)       # (n, 2k, 3, 16)
+    gv = comm.all_gather(valid)   # (n, 2k)
+    # reassemble the replicated clip_near layout: all mains, then extras
+    tri_attr = jnp.concatenate([
+        g[:, :k].reshape(n * k, 3, 16)[:T],
+        g[:, k:].reshape(n * k, 3, 16)[:T]])
+    tri_valid = jnp.concatenate([gv[:, :k].reshape(n * k)[:T],
+                                 gv[:, k:].reshape(n * k)[:T]])
+    tris = rz.setup_tri_verts(tri_attr[..., :4], tri_valid,
+                              cfg.width, cfg.height)
+    return tris, tri_attr
+
+
+def _band_shadow_tri_world(scene: fr.DeviceScene, visibility,
+                           comm: _Comm, d):
+    """Triangle-sharded shadow_tri_world: the world transform (dense +
+    V-row gathers) is replicated; the 3-row-per-triangle gather is sharded
+    and all_gathered. Bit-identical to fr.shadow_tri_world."""
+    if comm.n_dev == 1:
+        return fr.shadow_tri_world(scene.shadow, visibility)
+    draw = scene.shadow
+    W = draw.worlds[draw.vertex_instance]
+    ph = jnp.concatenate(
+        [draw.positions, jnp.ones_like(draw.positions[..., :1])], axis=-1)
+    from ..ops import shading
+
+    pos_w = shading.rowmat(ph, W)
+    pos_w = pos_w * visibility[draw.vertex_instance][:, None]
+    full, _ = _chunk_gather_rows(comm, d, pos_w,
+                                 draw.indices.reshape(-1, 3))
+    return full  # (T, 3, 4)
+
+
 def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
                       cfg: RenderConfig, comm: _Comm, d) -> jnp.ndarray:
     """Atlas-band-parallel shadow maps: the (S, C*S) atlas is sharded by
@@ -146,8 +221,11 @@ def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
         n_rows = min(-(-(sb + tile_h) // tile_h), nty)
         tr0 = jnp.clip(y0 // tile_h, 0, nty - n_rows)
         local_y = y0 - tr0 * tile_h
+        tri_world = _band_shadow_tri_world(scene, consts.shadow_visibility,
+                                           comm, d)
         tris, xrange = fr.shadow_atlas_tris(
-            scene, consts.shadow_visibility, consts.cascade_view_projs, cfg)
+            scene, consts.shadow_visibility, consts.cascade_view_projs, cfg,
+            tri_world=tri_world)
         depth, _ = rp.rasterize_pallas(
             tris, C * S, S_pad, cap, tile_h=tile_h, with_ids=False,
             interpret=cfg.pallas_interpret, xrange=xrange,
@@ -165,7 +243,8 @@ def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
     n_rows = min(-(-(sb + tile_h) // tile_h), nty)
     tr0 = jnp.clip(y0 // tile_h, 0, nty - n_rows)
     local_y = y0 - tr0 * tile_h
-    tri_world = fr.shadow_tri_world(scene.shadow, consts.shadow_visibility)
+    tri_world = _band_shadow_tri_world(scene, consts.shadow_visibility,
+                                       comm, d)
     from ..ops import shading
 
     bands = []
@@ -294,7 +373,7 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
     # (global tile anchors -> bit-identical fp math to the single-chip
     # render; no silhouette flips at band seams), with band-restricted
     # binning (the pair sort covers only this band's tile rows)
-    tris, tri_attr = fr.main_view_tris(scene, consts, cfg)
+    tris, tri_attr = _band_main_view_tris(scene, consts, cfg, comm, d)
     y0 = d * band_h  # first band pixel row (traced)
     tile_h = rp.TILE_H if cfg.use_pallas else rz.TILE_H
     nty = -(-H_pad // tile_h)

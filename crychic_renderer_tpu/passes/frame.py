@@ -287,7 +287,7 @@ def _shadow_bias(tris):
 
 
 def shadow_atlas_tris(scene: DeviceScene, shadow_visibility,
-                      vps: jnp.ndarray, cfg: RenderConfig):
+                      vps: jnp.ndarray, cfg: RenderConfig, tri_world=None):
     """Screen-space triangle setup for the (S, k*S) cascade atlas: every
     cascade's projected triangles, xy shifted into its atlas column, with
     the shadow PSO depth bias applied. Returns (tris, xrange) where xrange
@@ -296,7 +296,8 @@ def shadow_atlas_tris(scene: DeviceScene, shadow_visibility,
     (the per-cascade path gets this from its own viewport bounds)."""
     S = cfg.shadow_map_size
     k = vps.shape[0]
-    tri_world = shadow_tri_world(scene.shadow, shadow_visibility)
+    if tri_world is None:
+        tri_world = shadow_tri_world(scene.shadow, shadow_visibility)
     tris_list = []
     for c in range(k):
         t = rz.setup_tri_verts(shading.rowmat(tri_world, vps[c]),
@@ -378,14 +379,21 @@ def _mat_select(table: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
 # Geometry / attribute interpolation (the visibility-buffer resolve)
 # ---------------------------------------------------------------------------
 
-def build_tri_attrs(draw: DeviceDraw, pos_w, nrm_w, tan_w, uv, clip):
-    """Per-triangle vertex records (T, 3, 16): [clip4 | posW3 | nrm3 |
-    tan3 | uv2 | mat1] — the clip-space-linear quantities near-plane
-    clipping interpolates (ops.clipping) and the resolve consumes."""
-    tri_idx = draw.indices.reshape(-1, 3)
+def vertex_records(draw: DeviceDraw, pos_w, nrm_w, tan_w, uv, clip):
+    """Per-VERTEX records (V, 16): [clip4 | posW3 | nrm3 | tan3 | uv2 |
+    mat1] — the clip-space-linear quantities near-plane clipping
+    interpolates (ops.clipping) and the resolve consumes."""
     mat = draw.material_indices[draw.vertex_instance].astype(jnp.float32)
-    vrec = jnp.concatenate(
-        [clip, pos_w, nrm_w, tan_w, uv, mat[:, None]], axis=-1)  # (V, 16)
+    return jnp.concatenate(
+        [clip, pos_w, nrm_w, tan_w, uv, mat[:, None]], axis=-1)
+
+
+def build_tri_attrs(draw: DeviceDraw, pos_w, nrm_w, tan_w, uv, clip):
+    """Per-triangle vertex records (T, 3, 16) — vertex_records gathered to
+    triangles (3 row gathers per triangle; parallel.sharded shards this
+    gather by triangle ranges)."""
+    tri_idx = draw.indices.reshape(-1, 3)
+    vrec = vertex_records(draw, pos_w, nrm_w, tan_w, uv, clip)
     return vrec[tri_idx]  # (T, 3, 16) row gathers
 
 

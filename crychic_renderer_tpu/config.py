@@ -68,6 +68,14 @@ class RenderConfig:
     fast_shadow_factor: bool = False
     # SSAO resolution divisor (2 = the reference's half-res)
     ssao_scale: int = 2
+    # Multi-chip band binning capacities (pairs per DEVICE band). None =
+    # the full-frame capacities (always safe). Pair counts are heavily
+    # skewed across bands — the horizon band of the cascade scene holds
+    # 70-90% of the frame's main-view pairs — so do not guess a 1/n_dev
+    # split; size these from parallel.sharded.band_requirements (see
+    # autosize_band_capacities).
+    band_pair_capacity: int = None
+    shadow_band_pair_capacity: int = None
 
     @property
     def ssao_width(self):

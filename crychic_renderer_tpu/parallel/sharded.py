@@ -8,9 +8,16 @@ pipelining. The TPU-native scaling story is screen-space data parallelism:
   ROWS. Each device rasterizes its own horizontal band with GLOBAL tile
   anchors (bit-identical fp math to the single-chip render) and
   BAND-RESTRICTED binning — the (tile, triangle) pair expansion, sort and
-  record build each cover only the band's tile rows, so the per-device
-  binning cost shrinks ~n_dev-fold instead of replicating the full-screen
-  sort on every device (only the dense per-triangle setup is replicated).
+  record build each cover only the band's tile rows. NOTE: pair counts
+  are heavily skewed across bands (the cascade scene's horizon band holds
+  70-90% of main-view pairs), and the static band capacity — which the
+  sort cost scales with — must cover the WORST band on every device; size
+  it with autosize_band_capacities / band_requirements, and expect the
+  binning term to shrink by the worst-band fraction, not 1/n_dev.
+- the per-triangle attribute gather + near-plane clip (and the shadow
+  casters' world-space gather) are TRIANGLE-sharded: each device computes
+  a 1/n_dev triangle range and one all_gather reassembles tables that are
+  bit-identical to the replicated computation.
 - the cascade shadow ATLAS is itself sharded by rows over ALL devices
   (not cascades over <= num_cascades devices): device d rasterizes atlas
   rows [d*S/n, (d+1)*S/n) of every cascade column, and one ``all_gather``
@@ -78,14 +85,41 @@ def band_height(cfg: RenderConfig, n_dev: int) -> int:
     return -(-bh // align) * align
 
 
-def band_capacity(full_capacity: int, n_dev: int,
-                  headroom: float = 3.0) -> int:
-    """Per-band pair capacity: the band holds ~1/n_dev of the frame's
-    pairs; 3x headroom absorbs uneven bands (a horizon band can carry a
-    multiple of the average). Multiple of TRI_BLOCK for build_records."""
-    cap = int(full_capacity * headroom) // max(n_dev, 1)
-    cap = max(1 << 13, -(-cap // rp.TRI_BLOCK) * rp.TRI_BLOCK)
-    return min(cap, full_capacity)
+def _main_band_cap(cfg: RenderConfig) -> int:
+    """Per-band main-view pair capacity. Pair counts are heavily SKEWED
+    across bands (the cascade scene's horizon band holds 70-90% of the
+    frame's pairs), so the default is the SAFE full-frame capacity;
+    autosize_band_capacities tightens it from exact per-band counts."""
+    return cfg.band_pair_capacity or cfg.pair_capacity
+
+
+def _shadow_band_cap(cfg: RenderConfig) -> int:
+    return cfg.shadow_band_pair_capacity or cfg.shadow_pair_capacity
+
+
+def autosize_band_capacities(scene: fr.DeviceScene,
+                             consts: fr.FrameConstants, cfg: RenderConfig,
+                             n_dev: int, headroom: float = 1.5
+                             ) -> RenderConfig:
+    """Size the per-band binning capacities from the EXACT worst-band pair
+    counts of the given frame (band_requirements) with ``headroom``,
+    rounded to TRI_BLOCK — the band sort/record build then pays for the
+    worst band's real load instead of the full-frame capacity. Like the
+    single-chip auto-sizing this reflects the given camera; re-run (or
+    check band_requirements) after large camera moves."""
+    req = band_requirements(scene, consts, cfg, n_dev)
+
+    def size(needed, full):
+        cap = -(-int(int(needed) * headroom) // rp.TRI_BLOCK) \
+            * rp.TRI_BLOCK
+        return min(max(cap, 1 << 13), full)
+
+    kw = dict(band_pair_capacity=size(req["main_band_pairs"],
+                                      cfg.pair_capacity))
+    if cfg.shadows_enabled:
+        kw["shadow_band_pair_capacity"] = size(
+            req["shadow_band_pairs"], cfg.shadow_pair_capacity)
+    return dataclasses.replace(cfg, **kw)
 
 
 def _pad_rows(img: jnp.ndarray, rows: int) -> jnp.ndarray:
@@ -213,7 +247,7 @@ def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
     sb = -(-S // n_dev)
     S_pad = sb * n_dev
     y0 = d * sb
-    cap = band_capacity(cfg.shadow_pair_capacity, n_dev)
+    cap = _shadow_band_cap(cfg)
 
     if cfg.use_pallas:
         tile_h = fr.SHADOW_TILE_H
@@ -382,7 +416,7 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
     n_rows = min(-(-(band_h + tile_h) // tile_h), nty)
     tr0 = jnp.clip(y0 // tile_h, 0, nty - n_rows)
     band_cfg = dataclasses.replace(cfg, height=band_h)
-    cap = band_capacity(cfg.pair_capacity, n_dev)
+    cap = _main_band_cap(cfg)
     if cfg.use_pallas:
         depth, tid = rp.rasterize_pallas(tris, W, H_pad, cap,
                                          interpret=cfg.pallas_interpret,
@@ -469,6 +503,74 @@ def render_frame_sharded(scene: fr.DeviceScene, consts: fr.FrameConstants,
     )
     img = fn(scene, consts)
     return img[:cfg.height] if H_pad != cfg.height else img
+
+
+def band_requirements(scene: fr.DeviceScene, consts: fr.FrameConstants,
+                      cfg: RenderConfig, n_dev: int) -> dict:
+    """Exact worst-band (tile, triangle) pair counts for the sharded
+    frame's band-restricted binning — what ``band_capacity(...)`` must
+    exceed per device, else a band silently drops geometry. Dense
+    per-triangle math (no pair expansion); jittable."""
+    band_h = band_height(cfg, n_dev)
+    H_pad = band_h * n_dev
+
+    def max_band(tris, width, bin_h, tile_h, row0_of_band, n_rows):
+        tx0, ty0, bw, bh, ntx, nty = rz._tile_bbox(tris, width, bin_h,
+                                                   tile_h, rz.TILE_W)
+        rows = jnp.zeros(nty + 1, jnp.int32)
+        rows = rows.at[ty0].add(bw * (bh > 0), mode="drop")
+        rows = rows.at[ty0 + bh].add(-bw * (bh > 0), mode="drop")
+        # pairs per tile row = sum over triangles overlapping that row of
+        # their bbox width; difference-array scatter + cumsum gives it
+        per_row = jnp.cumsum(rows[:nty])
+        cs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(per_row)])
+        best = jnp.int32(0)
+        for dd in range(n_dev):
+            tr0 = int(np.clip(row0_of_band(dd) // tile_h, 0,
+                              max(nty - n_rows, 0)))
+            hi = min(tr0 + n_rows, nty)
+            best = jnp.maximum(best, cs[hi] - cs[tr0])
+        return best
+
+    out = {"band_h": band_h}
+    tris, _ = fr.main_view_tris(scene, consts, cfg)
+    tile_h = rp.TILE_H if cfg.use_pallas else rz.TILE_H
+    nty = -(-H_pad // tile_h)
+    n_rows = min(-(-(band_h + tile_h) // tile_h), nty)
+    out["main_band_pairs"] = max_band(tris, cfg.width, H_pad, tile_h,
+                                      lambda dd: dd * band_h, n_rows)
+    out["main_band_capacity"] = _main_band_cap(cfg)
+
+    if cfg.shadows_enabled:
+        S = cfg.shadow_map_size
+        C = cfg.num_cascades
+        sb = -(-S // n_dev)
+        S_pad = sb * n_dev
+        tile_h_s = fr.SHADOW_TILE_H if cfg.use_pallas else rz.TILE_H
+        nty_s = -(-S_pad // tile_h_s)
+        n_rows_s = min(-(-(sb + tile_h_s) // tile_h_s), nty_s)
+        if cfg.use_pallas:
+            s_tris, _ = fr.shadow_atlas_tris(
+                scene, consts.shadow_visibility,
+                consts.cascade_view_projs, cfg)
+            worst = max_band(s_tris, C * S, S_pad, tile_h_s,
+                             lambda dd: dd * sb, n_rows_s)
+        else:
+            from ..ops import shading
+
+            tri_world = fr.shadow_tri_world(scene.shadow,
+                                            consts.shadow_visibility)
+            worst = jnp.int32(0)
+            for c in range(C):
+                t = rz.setup_tri_verts(
+                    shading.rowmat(tri_world, consts.cascade_view_projs[c]),
+                    None, S, S)
+                worst = jnp.maximum(worst, max_band(
+                    t, S, S_pad, tile_h_s, lambda dd: dd * sb, n_rows_s))
+        out["shadow_band_pairs"] = worst
+        out["shadow_band_capacity"] = _shadow_band_cap(cfg)
+    return out
 
 
 def make_mesh(n_devices: int = None, axis: str = "sp") -> Mesh:

@@ -56,6 +56,12 @@ def main():
     for n in args.n_dev:
         band_h = sharded.band_height(cfg, n)
         scene_d = r.device_scene
+        # right-size the per-band binning capacities from exact worst-band
+        # pair counts (the sort cost scales with the static capacity)
+        cfg_n = sharded.autosize_band_capacities(scene_d, consts, cfg, n)
+        print(f"n_dev={n}: band caps main="
+              f"{cfg_n.band_pair_capacity} shadow="
+              f"{cfg_n.shadow_band_pair_capacity}", flush=True)
         if cfg.ssao_enabled:
             need = band_h * n // cfg.ssao_scale
             if scene_d.ssao_random_field.shape[0] < need:
@@ -68,7 +74,7 @@ def main():
             comm = sharded._Comm("sp", n, sim_index=d)
 
             def band_fn(scene, consts, comm=comm):
-                img = sharded._band_render(scene, consts, cfg, comm,
+                img = sharded._band_render(scene, consts, cfg_n, comm,
                                            band_h)
                 return img.sum()  # scalar readback (tunnel sync rule)
 

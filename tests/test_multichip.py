@@ -167,3 +167,21 @@ def test_band_restricted_binning_is_exact():
                               np.asarray(d_full)[r0:r1])
         assert np.array_equal(np.asarray(t)[:r1 - r0],
                               np.asarray(t_full)[r0:r1])
+
+
+@pytest.mark.slow
+def test_sharded_autosized_band_capacity_matches():
+    """autosize_band_capacities sizes the per-band binning from EXACT
+    worst-band pair counts (pair distribution across bands is heavily
+    skewed — a 1/n_dev split silently drops geometry); the tightened
+    config still matches single-chip."""
+    from crychic_renderer_tpu.parallel import sharded
+
+    r, cfg = _small_scene_and_cfg()
+    consts = r.frame_constants(0.0)
+    req = sharded.band_requirements(r.device_scene, consts, cfg, 4)
+    cfg2 = sharded.autosize_band_capacities(r.device_scene, consts, cfg, 4)
+    assert cfg2.band_pair_capacity >= int(req["main_band_pairs"])
+    assert cfg2.shadow_band_pair_capacity >= int(req["shadow_band_pairs"])
+    assert cfg2.band_pair_capacity <= cfg.pair_capacity
+    _compare_sharded(cfg2, r, 4)

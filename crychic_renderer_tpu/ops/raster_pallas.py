@@ -249,7 +249,8 @@ def _raster_kernel(starts_ref, counts_ref, records_hbm, q_ref, depth_ref,
 
 
 def build_records(tris: rz.ScreenTris, bins: rz.Bins, ntx: int,
-                  num_tiles: int, tile_h: int = TILE_H, xrange=None):
+                  num_tiles: int, tile_h: int = TILE_H, xrange=None,
+                  row_unperm=None):
     """Tile-anchored pair records for the kernel, UNPADDED.
 
     Tile runs are used exactly where the binning sort left them: the
@@ -269,9 +270,18 @@ def build_records(tris: rz.ScreenTris, bins: rz.Bins, ntx: int,
     rec = trecs[bins.order]  # (P, 16)
     tile_of = jnp.minimum(bins.sorted_tile, num_tiles - 1)
 
-    # re-anchor edge/depth planes at the tile origin (dense)
+    # re-anchor edge/depth planes at the tile origin (dense). With
+    # row_unperm=(n_dev, rows_per_dev), sorted_tile holds OWNER-MAJOR
+    # permuted keys (interleaved binning): recover the true tile row
+    # analytically — key_row = owner * rpd + ty // n_dev.
     x0 = ((tile_of % ntx) * TILE_W).astype(jnp.float32)[:, None]
-    y0 = ((tile_of // ntx) * tile_h).astype(jnp.float32)[:, None]
+    if row_unperm is None:
+        y0 = ((tile_of // ntx) * tile_h).astype(jnp.float32)[:, None]
+    else:
+        n_dev, rpd = row_unperm
+        kr = tile_of // ntx
+        true_ty = (kr % rpd) * n_dev + kr // rpd
+        y0 = (true_ty * tile_h).astype(jnp.float32)[:, None]
     A, B = rec[:, 0:3], rec[:, 3:6]
     C = rec[:, 6:9] + A * x0 + B * y0
     zC = rec[:, 11:12] + rec[:, 9:10] * x0 + rec[:, 10:11] * y0
@@ -290,7 +300,7 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
                      with_stats: bool = False, xrange=None,
                      tile_row_offset=None, num_tile_rows: int = None,
                      tiles_per_prog: int = TILES_PER_PROG,
-                     bin_band: bool = False):
+                     bin_band: bool = False, row_stride=None):
     """Full pipeline: bin (XLA) + raster (Pallas kernel).
 
     Triangle setup must use the same snapped coordinates the records use,
@@ -319,24 +329,46 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
     nty = -(-height // tile_h)
     num_tiles = ntx * nty
 
-    if bin_band and num_tile_rows is not None:
+    if row_stride is not None:
+        # interleaved mode: owner-major permuted keys (see
+        # rz.bin_triangles); the owner's tiles are one contiguous key
+        # range, so the streaming kernel runs unchanged. Output row
+        # s*tile_h + r is TRUE tile row s*n_dev + owner.
+        n_dev, owner = row_stride
+        rpd = -(-nty // n_dev)
+        num_keys = rpd * n_dev * ntx
         bins = rz.bin_triangles(tris, width, height, pair_capacity,
                                 tile_h=tile_h, tile_w=TILE_W,
-                                ty_lo=tile_row_offset,
-                                num_rows=num_tile_rows)
+                                row_stride=row_stride)
+        records = build_records(tris, bins, ntx, num_keys, tile_h, xrange,
+                                row_unperm=(n_dev, rpd))
+        grid_tiles = rpd * ntx
+        off = jnp.asarray(owner, jnp.int32) * grid_tiles
+        starts_g = jax.lax.dynamic_slice_in_dim(bins.starts, off,
+                                                grid_tiles)
+        counts_g = jax.lax.dynamic_slice_in_dim(bins.counts, off,
+                                                grid_tiles)
     else:
-        bins = rz.bin_triangles(tris, width, height, pair_capacity,
-                                tile_h=tile_h, tile_w=TILE_W)
-    records = build_records(tris, bins, ntx, num_tiles, tile_h, xrange)
+        if bin_band and num_tile_rows is not None:
+            bins = rz.bin_triangles(tris, width, height, pair_capacity,
+                                    tile_h=tile_h, tile_w=TILE_W,
+                                    ty_lo=tile_row_offset,
+                                    num_rows=num_tile_rows)
+        else:
+            bins = rz.bin_triangles(tris, width, height, pair_capacity,
+                                    tile_h=tile_h, tile_w=TILE_W)
+        records = build_records(tris, bins, ntx, num_tiles, tile_h, xrange)
 
-    if num_tile_rows is None:
-        grid_tiles = num_tiles
-        starts_g, counts_g = bins.starts, bins.counts
-    else:
-        grid_tiles = num_tile_rows * ntx
-        off = jnp.asarray(tile_row_offset, jnp.int32) * ntx
-        starts_g = jax.lax.dynamic_slice_in_dim(bins.starts, off, grid_tiles)
-        counts_g = jax.lax.dynamic_slice_in_dim(bins.counts, off, grid_tiles)
+        if num_tile_rows is None:
+            grid_tiles = num_tiles
+            starts_g, counts_g = bins.starts, bins.counts
+        else:
+            grid_tiles = num_tile_rows * ntx
+            off = jnp.asarray(tile_row_offset, jnp.int32) * ntx
+            starts_g = jax.lax.dynamic_slice_in_dim(bins.starts, off,
+                                                    grid_tiles)
+            counts_g = jax.lax.dynamic_slice_in_dim(bins.counts, off,
+                                                    grid_tiles)
 
     # pad the tile tables to a multiple of tiles_per_prog. Pad starts
     # carry the total end-of-pairs position so a program's stream range
@@ -391,13 +423,16 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
     )(starts, counts, records, _plane_matrix(tile_h))
     depth_flat = outs[0][:grid_tiles]
     tid_flat = outs[1][:grid_tiles] if with_ids else None
-    out_rows = nty if num_tile_rows is None else num_tile_rows
+    if row_stride is not None:
+        out_rows = grid_tiles // ntx
+    else:
+        out_rows = nty if num_tile_rows is None else num_tile_rows
 
     def assemble(flat):
         img = flat.reshape(out_rows, ntx, tile_h, TILE_W)
         img = img.transpose(0, 2, 1, 3).reshape(out_rows * tile_h,
                                                 ntx * TILE_W)
-        if num_tile_rows is None:
+        if num_tile_rows is None and row_stride is None:
             img = img[:height, :]
         return img[:, :width]
 

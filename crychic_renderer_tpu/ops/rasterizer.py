@@ -156,7 +156,7 @@ def _tile_bbox(tris: ScreenTris, width: int, height: int,
 def bin_triangles(tris: ScreenTris, width: int, height: int,
                   pair_capacity: int, tile_h: int = None,
                   tile_w: int = None, ty_lo=None,
-                  num_rows: int = None) -> Bins:
+                  num_rows: int = None, row_stride=None) -> Bins:
     """Exact tile binning with static shapes.
 
     Expands each triangle into (tile, tri) pairs via an exclusive-cumsum +
@@ -166,10 +166,24 @@ def bin_triangles(tris: ScreenTris, width: int, height: int,
     Band restriction (multi-chip, parallel.sharded): with ``ty_lo`` (traced
     scalar ok) + ``num_rows`` (static), only pairs whose tile row falls in
     [ty_lo, ty_lo + num_rows) are expanded — the expansion, sort and
-    downstream record build shrink ~n_dev-fold instead of replicating the
-    full-screen binning on every device. Tile ids stay GLOBAL, and each
-    in-band tile's run holds the same triangles in the same order as the
-    full binning, so band rasterization is bit-identical.
+    downstream record build shrink instead of replicating the full-screen
+    binning on every device. Tile ids stay GLOBAL, and each in-band
+    tile's run holds the same triangles in the same order as the full
+    binning, so band rasterization is bit-identical.
+
+    Interleaved restriction (``row_stride=(n_dev, owner)``, owner traced
+    ok): only tile rows ty with ty % n_dev == owner are expanded — pair
+    counts are heavily SKEWED across contiguous bands (a horizon band can
+    hold 70-90% of a frame's pairs), and strided ownership balances them
+    to ~1/n_dev per device. Pairs are sorted by an OWNER-MAJOR permuted
+    key, key = (owner * rows_per_dev + ty // n_dev) * ntx + tx, so the
+    owner's tiles form one contiguous run range [owner * rows_per_dev *
+    ntx, ...) — the streaming kernel's contiguity requirement — while
+    per-tile run contents and order stay identical to full binning.
+    ``starts``/``counts``/``sorted_tile`` are indexed by the PERMUTED key
+    (key space size ceil(nty / n_dev) * n_dev * ntx); consumers recover
+    the true tile row as (key_row % rows_per_dev) * n_dev + key_row //
+    rows_per_dev.
     """
     tile_h = TILE_H if tile_h is None else tile_h
     tile_w = TILE_W if tile_w is None else tile_w
@@ -183,7 +197,22 @@ def bin_triangles(tris: ScreenTris, width: int, height: int,
                       0, None)
         bw = jnp.where(bh > 0, bw, 0)
         bh = jnp.where(bw > 0, bh, 0)
-    num_tiles = ntx * nty
+    if row_stride is not None:
+        n_dev, owner = row_stride
+        owner = jnp.asarray(owner, jnp.int32)
+        rpd = -(-nty // n_dev)
+        # owned rows of the bbox: ty0 <= ty <= ty1 with ty % n_dev == owner
+        ty1 = ty0 + bh - 1
+        first = ty0 + (owner - ty0) % n_dev
+        bh = jnp.where(first > ty1, 0, (ty1 - first) // n_dev + 1)
+        ty0 = first
+        bw = jnp.where(bh > 0, bw, 0)
+        bh = jnp.where(bw > 0, bh, 0)
+        row_mult = n_dev
+        num_keys = rpd * n_dev * ntx
+    else:
+        row_mult = 1
+        num_keys = ntx * nty
     counts = (bw * bh).astype(jnp.int32)
     offsets = jnp.cumsum(counts) - counts  # exclusive
     total = offsets[-1] + counts[-1] if counts.shape[0] else jnp.int32(0)
@@ -202,17 +231,21 @@ def bin_triangles(tris: ScreenTris, width: int, height: int,
     pp = packed[tri_of_pair]  # (P, 4)
     slot = pair_idx - pp[:, 0]
     bw_p = jnp.maximum(pp[:, 1], 1)
-    ty = pp[:, 3] + slot // bw_p
+    ty = pp[:, 3] + (slot // bw_p) * row_mult
     tx = pp[:, 2] + slot % bw_p
     valid_pair = pair_idx < jnp.minimum(total, pair_capacity)
-    tile_id = jnp.where(valid_pair, ty * ntx + tx, num_tiles)
+    if row_stride is not None:
+        key_row = owner * rpd + ty // n_dev  # ty % n_dev == owner
+        tile_id = jnp.where(valid_pair, key_row * ntx + tx, num_keys)
+    else:
+        tile_id = jnp.where(valid_pair, ty * ntx + tx, num_keys)
 
     sort_order = jnp.argsort(tile_id)
     sorted_tile = tile_id[sort_order]
     order = tri_of_pair[sort_order].astype(jnp.int32)
 
     # per-tile (start, count) via histogram + exclusive cumsum
-    hist = jnp.zeros(num_tiles, jnp.int32).at[tile_id].add(1, mode="drop")
+    hist = jnp.zeros(num_keys, jnp.int32).at[tile_id].add(1, mode="drop")
     starts = (jnp.cumsum(hist) - hist).astype(jnp.int32)
     return Bins(order=order, starts=starts, counts=hist,
                 sorted_tile=sorted_tile.astype(jnp.int32),
@@ -322,7 +355,8 @@ def rasterize_bruteforce(tris: ScreenTris, width: int, height: int,
 def rasterize_binned(tris: ScreenTris, bins: Bins, width: int, height: int,
                      bin_cap: int, tri_block: int = 32,
                      with_ids: bool = True,
-                     tile_row_offset=None, num_tile_rows: int = None):
+                     tile_row_offset=None, num_tile_rows: int = None,
+                     row_stride=None):
     """Pure-XLA tiled rasterizer over the binned pairs.
 
     Each tile processes up to ``bin_cap`` triangles from its contiguous run
@@ -334,7 +368,12 @@ def rasterize_binned(tris: ScreenTris, bins: Bins, width: int, height: int,
     full-screen bin table are rasterized, with GLOBAL tile origins — the
     band's fp math is bit-identical to the single-chip render.
 
-    Returns (depth (H, W), tri_id (H, W) or None).
+    Interleaved mode: with row_stride=(n_dev, owner) and bins from the
+    matching bin_triangles call, the owner's strided tile rows are
+    rasterized in permuted-key order; output row s*TILE_H + r is TRUE tile
+    row s * n_dev + owner (callers reassemble with a transpose).
+
+    Returns (depth (rows, W), tri_id or None).
     """
     ntx = -(-width // TILE_W)
     nty = -(-height // TILE_H)
@@ -347,26 +386,43 @@ def rasterize_binned(tris: ScreenTris, bins: Bins, width: int, height: int,
     zB = (B * tris.z * inv_a2[:, None]).sum(-1)
     zC = (C * tris.z * inv_a2[:, None]).sum(-1)
 
-    if num_tile_rows is None:
-        starts_g, counts_g = bins.starts, bins.counts
-        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-        out_rows = nty
+    if row_stride is not None:
+        n_dev, owner = row_stride
+        rpd = -(-nty // n_dev)
+        grid_tiles = rpd * ntx
+        out_rows = rpd
+        off = jnp.asarray(owner, jnp.int32) * grid_tiles
+        starts_g = jax.lax.dynamic_slice_in_dim(bins.starts, off,
+                                                grid_tiles)
+        counts_g = jax.lax.dynamic_slice_in_dim(bins.counts, off,
+                                                grid_tiles)
+        slot_row = jnp.arange(grid_tiles, dtype=jnp.int32) // ntx
+        true_ty = slot_row * n_dev + jnp.asarray(owner, jnp.int32)
+        tile_y0 = (true_ty * TILE_H).astype(jnp.float32)
+        tile_x0 = ((jnp.arange(grid_tiles, dtype=jnp.int32) % ntx)
+                   * TILE_W).astype(jnp.float32)
     else:
-        out_rows = num_tile_rows
-        grid_tiles = num_tile_rows * ntx
-        off = jnp.asarray(tile_row_offset, jnp.int32) * ntx
-        starts_g = jax.lax.dynamic_slice_in_dim(bins.starts, off, grid_tiles)
-        counts_g = jax.lax.dynamic_slice_in_dim(bins.counts, off, grid_tiles)
-        tile_ids = off + jnp.arange(grid_tiles, dtype=jnp.int32)
+        if num_tile_rows is None:
+            starts_g, counts_g = bins.starts, bins.counts
+            tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+            out_rows = nty
+        else:
+            out_rows = num_tile_rows
+            grid_tiles = num_tile_rows * ntx
+            off = jnp.asarray(tile_row_offset, jnp.int32) * ntx
+            starts_g = jax.lax.dynamic_slice_in_dim(bins.starts, off,
+                                                    grid_tiles)
+            counts_g = jax.lax.dynamic_slice_in_dim(bins.counts, off,
+                                                    grid_tiles)
+            tile_ids = off + jnp.arange(grid_tiles, dtype=jnp.int32)
+        tile_x0 = ((tile_ids % ntx) * TILE_W).astype(jnp.float32)
+        tile_y0 = ((tile_ids // ntx) * TILE_H).astype(jnp.float32)
 
     # per-tile fixed-size bin lists (gathered from the sorted pair array)
     k = jnp.arange(bin_cap, dtype=jnp.int32)[None, :]
     idx = jnp.clip(starts_g[:, None] + k, 0, bins.order.shape[0] - 1)
     bin_tris = bins.order[idx]  # (num_tiles, bin_cap)
     bin_valid = k < counts_g[:, None]
-
-    tile_x0 = ((tile_ids % ntx) * TILE_W).astype(jnp.float32)
-    tile_y0 = ((tile_ids // ntx) * TILE_H).astype(jnp.float32)
     lx = (jnp.arange(TILE_W, dtype=jnp.float32) + 0.5)[None, :]
     ly = (jnp.arange(TILE_H, dtype=jnp.float32) + 0.5)[:, None]
 
@@ -413,7 +469,7 @@ def rasterize_binned(tris: ScreenTris, bins: Bins, width: int, height: int,
         img = (flat.reshape(out_rows, ntx, TILE_H, TILE_W)
                .transpose(0, 2, 1, 3).reshape(out_rows * TILE_H,
                                               ntx * TILE_W))
-        if num_tile_rows is None:
+        if num_tile_rows is None and row_stride is None:
             img = img[:height, :]
         return img[:, :width]
 

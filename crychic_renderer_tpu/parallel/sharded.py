@@ -4,25 +4,24 @@ The reference is strictly single-GPU (SURVEY.md §2.3) — its only
 "parallelism" is the D3D12 hardware's internal SIMD plus 3-deep CPU/GPU
 pipelining. The TPU-native scaling story is screen-space data parallelism:
 
-- mesh axis ``sp`` (screen parallel): the frame buffer is sharded by pixel
-  ROWS. Each device rasterizes its own horizontal band with GLOBAL tile
-  anchors (bit-identical fp math to the single-chip render) and
-  BAND-RESTRICTED binning — the (tile, triangle) pair expansion, sort and
-  record build each cover only the band's tile rows. NOTE: pair counts
-  are heavily skewed across bands (the cascade scene's horizon band holds
-  70-90% of main-view pairs), and the static band capacity — which the
-  sort cost scales with — must cover the WORST band on every device; size
-  it with autosize_band_capacities / band_requirements, and expect the
-  binning term to shrink by the worst-band fraction, not 1/n_dev.
+- RASTERIZATION is sharded with INTERLEAVED tile-row ownership: device d
+  rasterizes tile rows ty with ty %% n_dev == d of both the main view and
+  the cascade shadow atlas, with GLOBAL tile anchors (bit-identical fp
+  math to the single-chip render) and binning restricted to the owned
+  rows via owner-major permuted sort keys (rz.bin_triangles row_stride —
+  the owner's runs stay contiguous for the streaming kernel). Pair
+  counts are heavily SKEWED across contiguous bands (the cascade scene's
+  horizon band holds 70-90%% of main-view pairs; one atlas band holds
+  ~50%% of shadow pairs), so interleaving is what makes the kernel work
+  actually balance to ~1/n_dev. The full (depth, tid) visibility buffer
+  and shadow stack are then reassembled everywhere by all_gather +
+  transpose (~16 + 67 MB/frame over ICI), and each device RESOLVES and
+  SHADES only its contiguous pixel band — the pixel-space passes are
+  naturally balanced, so contiguous bands remain right for them.
 - the per-triangle attribute gather + near-plane clip (and the shadow
   casters' world-space gather) are TRIANGLE-sharded: each device computes
   a 1/n_dev triangle range and one all_gather reassembles tables that are
   bit-identical to the replicated computation.
-- the cascade shadow ATLAS is itself sharded by rows over ALL devices
-  (not cascades over <= num_cascades devices): device d rasterizes atlas
-  rows [d*S/n, (d+1)*S/n) of every cascade column, and one ``all_gather``
-  assembles the full (C, S, S) stack everywhere — every device needs the
-  full maps for PCF, and C x S^2 floats comfortably rides the ICI.
 - SSAO: occlusion is band-local but its projective occluder taps sample
   the ALL-GATHERED full half-res depth map (the taps land anywhere on
   screen — Ssao.hlsl:67-69), and the view-ray/random-texture grids use
@@ -86,10 +85,9 @@ def band_height(cfg: RenderConfig, n_dev: int) -> int:
 
 
 def _main_band_cap(cfg: RenderConfig) -> int:
-    """Per-band main-view pair capacity. Pair counts are heavily SKEWED
-    across bands (the cascade scene's horizon band holds 70-90% of the
-    frame's pairs), so the default is the SAFE full-frame capacity;
-    autosize_band_capacities tightens it from exact per-band counts."""
+    """Per-device main-view pair capacity (interleaved tile rows balance
+    to ~1/n_dev + edge effects). Default is the SAFE full-frame capacity;
+    autosize_band_capacities tightens it from exact per-owner counts."""
     return cfg.band_pair_capacity or cfg.pair_capacity
 
 
@@ -236,68 +234,63 @@ def _band_shadow_tri_world(scene: fr.DeviceScene, visibility,
 
 def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
                       cfg: RenderConfig, comm: _Comm, d) -> jnp.ndarray:
-    """Atlas-band-parallel shadow maps: the (S, C*S) atlas is sharded by
-    ROWS across all n_dev devices with band-restricted binning, then one
-    all_gather assembles the full (C, S, S) stack on every device. This
-    both uses every device (the round-2 cascade-parallel split idled
-    devices past num_cascades) and shards the shadow binning itself."""
+    """Shadow maps with INTERLEAVED tile-row ownership: device d
+    rasterizes atlas tile rows ty with ty %% n_dev == d (owner-major
+    permuted sort keys keep its runs contiguous for the streaming
+    kernel), and one all_gather + transpose reassembles the full
+    (C, S, S) stack everywhere. Interleaving balances the heavily
+    pair-skewed shadow load (~50%% of atlas pairs land in one contiguous
+    band) to ~1/n_dev per device — contiguous atlas bands left the worst
+    device with several times the average kernel work."""
     C = cfg.num_cascades
     S = cfg.shadow_map_size
     n_dev = comm.n_dev
-    sb = -(-S // n_dev)
-    S_pad = sb * n_dev
-    y0 = d * sb
     cap = _shadow_band_cap(cfg)
 
     if cfg.use_pallas:
         tile_h = fr.SHADOW_TILE_H
-        nty = -(-S_pad // tile_h)
-        n_rows = min(-(-(sb + tile_h) // tile_h), nty)
-        tr0 = jnp.clip(y0 // tile_h, 0, nty - n_rows)
-        local_y = y0 - tr0 * tile_h
+        nty = -(-S // tile_h)
+        rpd = -(-nty // n_dev)
         tri_world = _band_shadow_tri_world(scene, consts.shadow_visibility,
                                            comm, d)
         tris, xrange = fr.shadow_atlas_tris(
             scene, consts.shadow_visibility, consts.cascade_view_projs, cfg,
             tri_world=tri_world)
         depth, _ = rp.rasterize_pallas(
-            tris, C * S, S_pad, cap, tile_h=tile_h, with_ids=False,
+            tris, C * S, S, cap, tile_h=tile_h, with_ids=False,
             interpret=cfg.pallas_interpret, xrange=xrange,
-            tiles_per_prog=32, tile_row_offset=tr0, num_tile_rows=n_rows,
-            bin_band=True)
-        band = jax.lax.dynamic_slice_in_dim(depth, local_y, sb, axis=0)
-        full = comm.all_gather(band).reshape(S_pad, C * S)[:S]
+            tiles_per_prog=32, row_stride=(n_dev, d))
+        # depth: (rpd*tile_h, C*S), slot-major stripes
+        g = comm.all_gather(depth)  # (n_dev, rpd*tile_h, C*S)
+        full = g.reshape(n_dev, rpd, tile_h, C * S).transpose(
+            1, 0, 2, 3).reshape(n_dev * rpd * tile_h, C * S)[:S]
         return jnp.stack([full[:, c * S:(c + 1) * S] for c in range(C)])
 
-    # XLA path: per-cascade band renders (the single-chip XLA path renders
-    # per cascade, not the atlas — keeping the same viewport keeps the
-    # edge-function fp math bit-identical)
+    # XLA path: per-cascade interleaved renders (the single-chip XLA path
+    # renders per cascade, not the atlas — keeping the same viewport keeps
+    # the edge-function fp math bit-identical)
     tile_h = rz.TILE_H
-    nty = -(-S_pad // tile_h)
-    n_rows = min(-(-(sb + tile_h) // tile_h), nty)
-    tr0 = jnp.clip(y0 // tile_h, 0, nty - n_rows)
-    local_y = y0 - tr0 * tile_h
+    nty = -(-S // tile_h)
+    rpd = -(-nty // n_dev)
     tri_world = _band_shadow_tri_world(scene, consts.shadow_visibility,
                                        comm, d)
     from ..ops import shading
 
-    bands = []
+    parts = []
     for c in range(C):
         t = rz.setup_tri_verts(
             shading.rowmat(tri_world, consts.cascade_view_projs[c]),
             None, S, S)
         t = fr._shadow_bias(t)
-        bins = rz.bin_triangles(t, S, S_pad, cap, ty_lo=tr0,
-                                num_rows=n_rows)
-        depth, _ = rz.rasterize_binned(t, bins, S, S_pad,
+        bins = rz.bin_triangles(t, S, S, cap, row_stride=(n_dev, d))
+        depth, _ = rz.rasterize_binned(t, bins, S, S,
                                        cfg.shadow_bin_cap, with_ids=False,
-                                       tile_row_offset=tr0,
-                                       num_tile_rows=n_rows)
-        bands.append(jax.lax.dynamic_slice_in_dim(depth, local_y, sb,
-                                                  axis=0))
-    stacked = jnp.stack(bands)  # (C, sb, S)
-    full = comm.all_gather(stacked)  # (n_dev, C, sb, S)
-    return full.transpose(1, 0, 2, 3).reshape(C, S_pad, S)[:, :S]
+                                       row_stride=(n_dev, d))
+        parts.append(depth)  # (rpd*tile_h, S)
+    stacked = jnp.stack(parts)  # (C, rpd*tile_h, S)
+    g = comm.all_gather(stacked)  # (n_dev, C, rpd*tile_h, S)
+    return g.reshape(n_dev, C, rpd, tile_h, S).transpose(
+        1, 2, 0, 3, 4).reshape(C, n_dev * rpd * tile_h, S)[:, :S]
 
 
 def _band_alpha_shadow(scene: fr.DeviceScene, consts: fr.FrameConstants,
@@ -403,40 +396,47 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
     else:
         shadow_maps = jnp.ones((cfg.num_cascades, 2, 2), jnp.float32)
 
-    # ---- main band: rasterize this device's tile rows of the FULL screen
-    # (global tile anchors -> bit-identical fp math to the single-chip
-    # render; no silhouette flips at band seams), with band-restricted
-    # binning (the pair sort covers only this band's tile rows)
+    # ---- main visibility buffer: INTERLEAVED tile-row ownership (the
+    # horizon band holds 70-90% of the frame's pairs, so contiguous-band
+    # raster ownership left the worst device with near-full-frame kernel
+    # work); every device rasterizes its strided tile rows with GLOBAL
+    # anchors (bit-identical), the full (depth, tid) buffer is
+    # all_gathered (~16 MB/frame), and each device resolves/shades only
+    # its contiguous pixel band as before.
     tris, tri_attr = _band_main_view_tris(scene, consts, cfg, comm, d)
     y0 = d * band_h  # first band pixel row (traced)
     tile_h = rp.TILE_H if cfg.use_pallas else rz.TILE_H
     nty = -(-H_pad // tile_h)
-    # static covering-tile-row count: enough rows for any band alignment
-    # PLUS one halo pixel row below the band (uv derivatives at the seam)
-    n_rows = min(-(-(band_h + tile_h) // tile_h), nty)
-    tr0 = jnp.clip(y0 // tile_h, 0, nty - n_rows)
+    rpd = -(-nty // n_dev)
     band_cfg = dataclasses.replace(cfg, height=band_h)
     cap = _main_band_cap(cfg)
     if cfg.use_pallas:
-        depth, tid = rp.rasterize_pallas(tris, W, H_pad, cap,
-                                         interpret=cfg.pallas_interpret,
-                                         tile_row_offset=tr0,
-                                         num_tile_rows=n_rows,
-                                         bin_band=True)
+        dpart, tpart = rp.rasterize_pallas(tris, W, H_pad, cap,
+                                           interpret=cfg.pallas_interpret,
+                                           row_stride=(n_dev, d))
     else:
-        bins = rz.bin_triangles(tris, W, H_pad, cap, ty_lo=tr0,
-                                num_rows=n_rows)
-        depth, tid = rz.rasterize_binned(tris, bins, W, H_pad, cfg.bin_cap,
-                                         tile_row_offset=tr0,
-                                         num_tile_rows=n_rows)
-    # slice the band + 1 halo row (the slab is extended by one duplicate
-    # row so the last band's slice stays in range; its halo contribution
-    # is overridden by resolve_gbuffer's last-image-row derivative rule)
-    local_y = y0 - tr0 * tile_h
-    depth = jnp.concatenate([depth, depth[-1:]], axis=0)
-    tid = jnp.concatenate([tid, tid[-1:]], axis=0)
-    depth = jax.lax.dynamic_slice_in_dim(depth, local_y, band_h + 1, axis=0)
-    tid = jax.lax.dynamic_slice_in_dim(tid, local_y, band_h + 1, axis=0)
+        bins = rz.bin_triangles(tris, W, H_pad, cap,
+                                row_stride=(n_dev, d))
+        dpart, tpart = rz.rasterize_binned(tris, bins, W, H_pad,
+                                           cfg.bin_cap,
+                                           row_stride=(n_dev, d))
+
+    def reassemble(part):
+        g = comm.all_gather(part)  # (n_dev, rpd*tile_h, W)
+        return g.reshape(n_dev, rpd, tile_h, W).transpose(
+            1, 0, 2, 3).reshape(n_dev * rpd * tile_h, W)
+
+    depth_full = reassemble(dpart)
+    tid_full = reassemble(tpart)
+    # slice the band + 1 halo row below it (uv derivatives at the seam);
+    # the buffer is extended by one duplicate row so the last band's
+    # slice stays in range (its halo contribution is overridden by
+    # resolve_gbuffer's last-image-row derivative rule)
+    depth_full = jnp.concatenate([depth_full, depth_full[-1:]], axis=0)
+    tid_full = jnp.concatenate([tid_full, tid_full[-1:]], axis=0)
+    depth = jax.lax.dynamic_slice_in_dim(depth_full, y0, band_h + 1,
+                                         axis=0)
+    tid = jax.lax.dynamic_slice_in_dim(tid_full, y0, band_h + 1, axis=0)
 
     if cfg.alpha_test_enabled and scene.alpha is not None:
         # AlphaTested layer: dense peel over the band's GLOBAL pixel rows
@@ -507,14 +507,14 @@ def render_frame_sharded(scene: fr.DeviceScene, consts: fr.FrameConstants,
 
 def band_requirements(scene: fr.DeviceScene, consts: fr.FrameConstants,
                       cfg: RenderConfig, n_dev: int) -> dict:
-    """Exact worst-band (tile, triangle) pair counts for the sharded
-    frame's band-restricted binning — what ``band_capacity(...)`` must
-    exceed per device, else a band silently drops geometry. Dense
-    per-triangle math (no pair expansion); jittable."""
+    """Exact worst-DEVICE (tile, triangle) pair counts for the sharded
+    frame's interleaved binning (tile rows ty %% n_dev == d) — what the
+    per-band capacities must exceed, else a device silently drops
+    geometry. Dense per-triangle math (no pair expansion); jittable."""
     band_h = band_height(cfg, n_dev)
     H_pad = band_h * n_dev
 
-    def max_band(tris, width, bin_h, tile_h, row0_of_band, n_rows):
+    def worst_owner(tris, width, bin_h, tile_h):
         tx0, ty0, bw, bh, ntx, nty = rz._tile_bbox(tris, width, bin_h,
                                                    tile_h, rz.TILE_W)
         rows = jnp.zeros(nty + 1, jnp.int32)
@@ -523,39 +523,26 @@ def band_requirements(scene: fr.DeviceScene, consts: fr.FrameConstants,
         # pairs per tile row = sum over triangles overlapping that row of
         # their bbox width; difference-array scatter + cumsum gives it
         per_row = jnp.cumsum(rows[:nty])
-        cs = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                              jnp.cumsum(per_row)])
-        best = jnp.int32(0)
-        for dd in range(n_dev):
-            tr0 = int(np.clip(row0_of_band(dd) // tile_h, 0,
-                              max(nty - n_rows, 0)))
-            hi = min(tr0 + n_rows, nty)
-            best = jnp.maximum(best, cs[hi] - cs[tr0])
-        return best
+        rpd = -(-nty // n_dev)
+        per_row = jnp.pad(per_row, (0, rpd * n_dev - nty))
+        # owner d's total = sum of rows ty with ty %% n_dev == d
+        return per_row.reshape(rpd, n_dev).sum(axis=0).max()
 
     out = {"band_h": band_h}
     tris, _ = fr.main_view_tris(scene, consts, cfg)
     tile_h = rp.TILE_H if cfg.use_pallas else rz.TILE_H
-    nty = -(-H_pad // tile_h)
-    n_rows = min(-(-(band_h + tile_h) // tile_h), nty)
-    out["main_band_pairs"] = max_band(tris, cfg.width, H_pad, tile_h,
-                                      lambda dd: dd * band_h, n_rows)
+    out["main_band_pairs"] = worst_owner(tris, cfg.width, H_pad, tile_h)
     out["main_band_capacity"] = _main_band_cap(cfg)
 
     if cfg.shadows_enabled:
         S = cfg.shadow_map_size
         C = cfg.num_cascades
-        sb = -(-S // n_dev)
-        S_pad = sb * n_dev
         tile_h_s = fr.SHADOW_TILE_H if cfg.use_pallas else rz.TILE_H
-        nty_s = -(-S_pad // tile_h_s)
-        n_rows_s = min(-(-(sb + tile_h_s) // tile_h_s), nty_s)
         if cfg.use_pallas:
             s_tris, _ = fr.shadow_atlas_tris(
                 scene, consts.shadow_visibility,
                 consts.cascade_view_projs, cfg)
-            worst = max_band(s_tris, C * S, S_pad, tile_h_s,
-                             lambda dd: dd * sb, n_rows_s)
+            worst = worst_owner(s_tris, C * S, S, tile_h_s)
         else:
             from ..ops import shading
 
@@ -566,8 +553,8 @@ def band_requirements(scene: fr.DeviceScene, consts: fr.FrameConstants,
                 t = rz.setup_tri_verts(
                     shading.rowmat(tri_world, consts.cascade_view_projs[c]),
                     None, S, S)
-                worst = jnp.maximum(worst, max_band(
-                    t, S, S_pad, tile_h_s, lambda dd: dd * sb, n_rows_s))
+                worst = jnp.maximum(worst,
+                                    worst_owner(t, S, S, tile_h_s))
         out["shadow_band_pairs"] = worst
         out["shadow_band_capacity"] = _shadow_band_cap(cfg)
     return out

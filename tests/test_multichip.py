@@ -185,3 +185,59 @@ def test_sharded_autosized_band_capacity_matches():
     assert cfg2.shadow_band_pair_capacity >= int(req["shadow_band_pairs"])
     assert cfg2.band_pair_capacity <= cfg.pair_capacity
     _compare_sharded(cfg2, r, 4)
+
+
+def test_interleaved_binning_is_exact():
+    """row_stride=(n, d) binning + raster produces, for every owned tile
+    row, output bit-equal to full-screen binning — on BOTH rasterizer
+    paths (the owner-major key permutation must not perturb run contents,
+    order, or tile anchors)."""
+    from crychic_renderer_tpu.ops import rasterizer as rz
+    from crychic_renderer_tpu.ops import raster_pallas as rp
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(1)
+    W, H = 256, 96
+    T = 300
+    xy = rng.uniform(-1.2, 1.2, (T, 3, 2))
+    z = rng.uniform(0.05, 0.95, (T, 3))
+    w = np.ones((T, 3, 1), np.float32)
+    clip = np.concatenate([xy * w, z[..., None] * w, w], -1).astype(
+        np.float32)
+    tris = rz.setup_tri_verts(jnp.asarray(clip), None, W, H)
+    n = 4
+
+    full_bins = rz.bin_triangles(tris, W, H, 1 << 14)
+    d_full, t_full = rz.rasterize_binned(tris, full_bins, W, H, 256)
+    nty = -(-H // rz.TILE_H)
+    for d in range(n):
+        bb = rz.bin_triangles(tris, W, H, 1 << 13, row_stride=(n, d))
+        dd, tt = rz.rasterize_binned(tris, bb, W, H, 256,
+                                     row_stride=(n, d))
+        for s in range(-(-nty // n)):
+            ty = s * n + d
+            if ty >= nty:
+                continue
+            r0, r1 = ty * rz.TILE_H, min((ty + 1) * rz.TILE_H, H)
+            sl = slice(s * rz.TILE_H, s * rz.TILE_H + (r1 - r0))
+            assert np.array_equal(np.asarray(dd)[sl],
+                                  np.asarray(d_full)[r0:r1])
+            assert np.array_equal(np.asarray(tt)[sl],
+                                  np.asarray(t_full)[r0:r1])
+
+    dp_full, tp_full = rp.rasterize_pallas(tris, W, H, 1 << 14,
+                                           interpret=True)
+    nty8 = -(-H // rp.TILE_H)
+    for d in range(n):
+        dd, tt = rp.rasterize_pallas(tris, W, H, 1 << 13, interpret=True,
+                                     row_stride=(n, d))
+        for s in range(-(-nty8 // n)):
+            ty = s * n + d
+            if ty >= nty8:
+                continue
+            r0, r1 = ty * rp.TILE_H, min((ty + 1) * rp.TILE_H, H)
+            sl = slice(s * rp.TILE_H, s * rp.TILE_H + (r1 - r0))
+            assert np.array_equal(np.asarray(dd)[sl],
+                                  np.asarray(dp_full)[r0:r1])
+            assert np.array_equal(np.asarray(tt)[sl],
+                                  np.asarray(tp_full)[r0:r1])

@@ -345,15 +345,32 @@ def _band_ssao(scene: fr.DeviceScene, consts: fr.FrameConstants,
         scene.ssao_offsets, random_field=band_field,
         tap_depth=d_half_all[:true_h], row_offset=d * bh,
         full_height=true_h)
-    # blur on the full half-res maps (replicated; exact cross-band halos)
+    # blur on a band SLICE of the gathered half-res maps with a 16-row
+    # halo: ssao_blur_count (3) iterations of the radius-5 vertical blur
+    # influence <= 15 rows, so every band row's blur sees exactly the
+    # neighbors the full-map (single-chip) blur sees — band-exact at
+    # ~1/n_dev the replicated-blur cost. Slices clamp to the map, so the
+    # first/last bands keep the true edge-clamp semantics.
+    halo = 16
     access_full = comm.all_gather(access).reshape(
         n_dev * bh, access.shape[1])[:true_h]
     n_half_full = comm.all_gather(n_half).reshape(
         n_dev * bh, *n_half.shape[1:])[:true_h]
-    access_full = fr.ssao_blur(scene, consts, cfg, access_full, n_half_full,
-                               d_half_all[:true_h])
-    # upsample the FULL map then slice the band: bilinear edge handling at
-    # band seams matches the single-chip upsample exactly
+    win = min(bh + 2 * halo, true_h)
+    lo = jnp.clip(d * bh - halo, 0, true_h - win)
+    off = d * bh - lo  # my band's first row inside the slice (traced)
+
+    def sl(x):
+        return jax.lax.dynamic_slice_in_dim(x, lo, win, axis=0)
+
+    blurred = fr.ssao_blur(scene, consts, cfg, sl(access_full),
+                           sl(n_half_full), sl(d_half_all[:true_h]))
+    # scatter the blurred band back into the full map (the rest of the
+    # rows only matter through the upsample's halo: rows within the
+    # bilinear support of the band boundary are inside the exact-halo
+    # window, so the final band slice matches single-chip exactly)
+    access_full = jax.lax.dynamic_update_slice_in_dim(
+        access_full, blurred, lo, axis=0)
     up = fr._upsample_bilinear(access_full, cfg.height, cfg.width)
     up = _pad_rows(up, band_h * n_dev)
     return jax.lax.dynamic_slice_in_dim(up, d * band_h, band_h, axis=0)

@@ -236,6 +236,14 @@ def _raster_kernel(starts_ref, counts_ref, records_hbm, q_ref, depth_ref,
                     ids = jnp.where(zt == zb, ids_col, jnp.inf)
                     idb = jnp.min(ids, axis=0, keepdims=True)
                     prev_id = acc_id[t:t + 1, :]
+                    # Exact-z tie rule: min id within a block, earliest
+                    # block across blocks. These coincide: the stable
+                    # tile sort keeps each run's pair ids ASCENDING, so
+                    # the earliest block holding the min z also holds the
+                    # smallest tied id — making the winner independent of
+                    # where band/interleaved binning shifts the run's
+                    # TRI_BLOCK boundaries (sharded tid == single-chip
+                    # tid even on coplanar geometry).
                     acc_id[t:t + 1, :] = jnp.where(better, idb, prev_id)
 
         return carry
@@ -300,7 +308,7 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
                      with_stats: bool = False, xrange=None,
                      tile_row_offset=None, num_tile_rows: int = None,
                      tiles_per_prog: int = TILES_PER_PROG,
-                     bin_band: bool = False, row_stride=None):
+                     row_stride=None):
     """Full pipeline: bin (XLA) + raster (Pallas kernel).
 
     Triangle setup must use the same snapped coordinates the records use,
@@ -315,10 +323,10 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
     tile_row_offset + num_tile_rows) and the output holds just those rows.
     Because every record keeps its GLOBAL tile anchor, the band's
     edge-function/depth fp math is bit-identical to the single-chip
-    render — no silhouette flips at band seams. With ``bin_band=True`` the
-    binning itself is restricted to the band's tile rows (see
-    rz.bin_triangles) so the pair sort/record build also shrinks
-    ~n_dev-fold; pair_capacity then only needs to hold the BAND's pairs.
+    render — no silhouette flips at band seams.
+
+    Interleaved mode (``row_stride``): see the block above; the sharded
+    path uses this (balanced pair load) rather than contiguous bands.
 
     Returns (depth (H, W) f32, tid (H, W) i32[, stats]); stats (when
     with_stats) is a dict of scalars: pairs_valid, pairs_overflowed (pairs
@@ -349,14 +357,8 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
         counts_g = jax.lax.dynamic_slice_in_dim(bins.counts, off,
                                                 grid_tiles)
     else:
-        if bin_band and num_tile_rows is not None:
-            bins = rz.bin_triangles(tris, width, height, pair_capacity,
-                                    tile_h=tile_h, tile_w=TILE_W,
-                                    ty_lo=tile_row_offset,
-                                    num_rows=num_tile_rows)
-        else:
-            bins = rz.bin_triangles(tris, width, height, pair_capacity,
-                                    tile_h=tile_h, tile_w=TILE_W)
+        bins = rz.bin_triangles(tris, width, height, pair_capacity,
+                                tile_h=tile_h, tile_w=TILE_W)
         records = build_records(tris, bins, ntx, num_tiles, tile_h, xrange)
 
         if num_tile_rows is None:

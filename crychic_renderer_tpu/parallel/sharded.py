@@ -345,20 +345,21 @@ def _band_ssao(scene: fr.DeviceScene, consts: fr.FrameConstants,
         scene.ssao_offsets, random_field=band_field,
         tap_depth=d_half_all[:true_h], row_offset=d * bh,
         full_height=true_h)
-    # blur on a band SLICE of the gathered half-res maps with a 16-row
-    # halo: ssao_blur_count (3) iterations of the radius-5 vertical blur
-    # influence <= 15 rows, so every band row's blur sees exactly the
-    # neighbors the full-map (single-chip) blur sees — band-exact at
-    # ~1/n_dev the replicated-blur cost. Slices clamp to the map, so the
-    # first/last bands keep the true edge-clamp semantics.
-    halo = 16
+    # blur on a band SLICE of the gathered half-res maps with an exact
+    # halo: ssao_blur_count iterations of the radius-r vertical blur
+    # influence <= count*r rows, so with a (count*r + 1)-row halo every
+    # band row's blur — and the rows the final upsample interpolates
+    # across — sees exactly the neighbors the full-map (single-chip) blur
+    # sees, at ~1/n_dev the replicated-blur cost. Slices clamp to the
+    # map, so the first/last bands keep the true edge-clamp semantics.
+    radius = (scene.ssao_blur_weights.shape[0] - 1) // 2
+    halo = cfg.ssao_blur_count * radius + 1
     access_full = comm.all_gather(access).reshape(
         n_dev * bh, access.shape[1])[:true_h]
     n_half_full = comm.all_gather(n_half).reshape(
         n_dev * bh, *n_half.shape[1:])[:true_h]
     win = min(bh + 2 * halo, true_h)
     lo = jnp.clip(d * bh - halo, 0, true_h - win)
-    off = d * bh - lo  # my band's first row inside the slice (traced)
 
     def sl(x):
         return jax.lax.dynamic_slice_in_dim(x, lo, win, axis=0)

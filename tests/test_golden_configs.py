@@ -110,3 +110,18 @@ def test_golden_config4_ssao_access(cfg4_setup):
     acc = np.asarray(jax.jit(access_fn)(scene, consts))
     assert np.isfinite(acc).all()
     _check_golden("config4_ssao_access", _u8(acc))
+
+
+@pytest.mark.slow
+def test_golden_config5_animated_frame():
+    """Config 5 at t=0.1s (animation frame 3 of the 15-frame cycle; 0.5s
+    would land exactly on a full cycle): the BoltAnim/FireAnim material
+    slots have cycled (Renderer._animate_materials rewrites
+    material->pair indices), pinning the animated-texture path that the
+    t=0 golden cannot see."""
+    r = _small_renderer(5)
+    img0 = r.render_np(0.0)
+    img1 = r.render_np(0.1)
+    # the animation must actually change pixels (the bolt box region)
+    assert np.abs(img1 - img0).max() > 0.02
+    _check_golden("config5_anim_t01", _u8(img1))

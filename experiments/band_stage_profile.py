@@ -25,6 +25,9 @@ def main():
                     help="device index to profile (default n//2)")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--sub", action="store_true",
+                    help="also time sub-stages of the flat base terms "
+                         "(front-end pieces, shadow setup, superwindow)")
     args = ap.parse_args()
 
     import jax
@@ -89,6 +92,80 @@ def main():
 
         rep["front_end"] = timed(front_fn, scene, consts)
         tris, tri_attr = jax.jit(front_fn)(scene, consts)
+
+        if args.sub:
+            import numpy as np
+            from crychic_renderer_tpu.ops import clipping, shadows
+            from crychic_renderer_tpu.ops import rasterizer as rz
+
+            def vs_fn(s, c):
+                return fr.vertex_stage(s.opaque, c.opaque_visibility,
+                                       c.view_proj, s.mat_transform)
+
+            rep["sub_vertex_stage"] = timed(vs_fn, scene, consts)
+
+            def vrec_fn(s, c):
+                return fr.vertex_records(s.opaque, *vs_fn(s, c))
+
+            rep["sub_vertex_records"] = timed(vrec_fn, scene, consts)
+            vrec = jax.jit(vrec_fn)(scene, consts)
+            tri_idx = jnp.asarray(
+                np.asarray(scene.opaque.indices).reshape(-1, 3))
+            T = tri_idx.shape[0]
+            k_t = -(-T // n)
+            idx_p = jnp.pad(tri_idx, ((0, n * k_t - T), (0, 0)))
+
+            def chunkclip_fn(vr, ip):
+                chunk = jax.lax.dynamic_slice_in_dim(ip, d * k_t, k_t,
+                                                     axis=0)
+                a = vr[chunk]
+                valid0 = (d * k_t
+                          + jnp.arange(k_t, dtype=jnp.int32)) < T
+                return clipping.clip_near(a, valid0)
+
+            rep["sub_chunk_clip"] = timed(chunkclip_fn, vrec, idx_p)
+            a2, valid = jax.jit(chunkclip_fn)(vrec, idx_p)
+
+            def gather_reasm_fn(a2_, valid_):
+                g = comm.all_gather(a2_)
+                gv = comm.all_gather(valid_)
+                tri_attr_ = jnp.concatenate([
+                    g[:, :k_t].reshape(n * k_t, 3, 16)[:T],
+                    g[:, k_t:].reshape(n * k_t, 3, 16)[:T]])
+                tri_valid_ = jnp.concatenate(
+                    [gv[:, :k_t].reshape(n * k_t)[:T],
+                     gv[:, k_t:].reshape(n * k_t)[:T]])
+                return tri_attr_, tri_valid_
+
+            rep["sub_gather_reasm"] = timed(gather_reasm_fn, a2, valid)
+            tri_attr_s, tri_valid_s = jax.jit(gather_reasm_fn)(a2, valid)
+
+            def setup_fn(ta, tv):
+                return rz.setup_tri_verts(ta[..., :4], tv,
+                                          cfg.width, cfg.height)
+
+            rep["sub_setup_tri_verts"] = timed(setup_fn, tri_attr_s,
+                                               tri_valid_s)
+
+            def stw_fn(s, c):
+                return sharded._band_shadow_tri_world(
+                    s, c.shadow_visibility, comm, comm.index())
+
+            rep["sub_shadow_tri_world"] = timed(stw_fn, scene, consts)
+            tri_world = jax.jit(stw_fn)(scene, consts)
+
+            def satris_fn(s, c, tw):
+                return fr.shadow_atlas_tris(
+                    s, c.shadow_visibility, c.cascade_view_projs, cfg_n,
+                    tri_world=tw)
+
+            rep["sub_shadow_atlas_setup"] = timed(satris_fn, scene,
+                                                  consts, tri_world)
+
+            def swin_fn(sm):
+                return shadows.superwindow_maps_u16(sm)
+
+            rep["sub_superwindow_u16"] = timed(swin_fn, shadow_maps)
 
         cap = sharded._main_band_cap(cfg_n)
 

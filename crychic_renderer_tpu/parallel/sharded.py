@@ -158,6 +158,39 @@ class _Comm:
             [x[None]] * self.n_dev, axis=0)
 
 
+def _row_chunk(d, x: jnp.ndarray, k: int, n: int):
+    """Rows [d*k, (d+1)*k) of ``x`` padded to n*k rows (pad rows repeat
+    row 0 values via zero-index semantics where gathered, and are dropped
+    on reassembly)."""
+    pad = [(0, n * k - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jax.lax.dynamic_slice_in_dim(jnp.pad(x, pad), d * k, k, axis=0)
+
+
+def _band_vertex_records(draw: fr.DeviceDraw, visibility, view_proj,
+                         mat_transform, comm: _Comm, d):
+    """Vertex-sharded vertex_stage + vertex_records: device d runs the
+    per-vertex transforms (the ~4 instance-table row gathers + dense VPU
+    math — measured ~10 ms replicated at 1080p config 5, the largest
+    flat term of the sharded band program) on a 1/n_dev vertex range and
+    one all_gather reassembles the full (V, 16) record table
+    bit-identically (every op is per-row)."""
+    n = comm.n_dev
+    V = draw.positions.shape[0]
+    kv = -(-V // n)
+    chunk = dataclasses.replace(
+        draw,
+        positions=_row_chunk(d, draw.positions, kv, n),
+        normals=_row_chunk(d, draw.normals, kv, n),
+        tangents=_row_chunk(d, draw.tangents, kv, n),
+        uvs=_row_chunk(d, draw.uvs, kv, n),
+        vertex_instance=_row_chunk(d, draw.vertex_instance, kv, n),
+    )
+    pos_w, nrm_w, tan_w, uv, clip = fr.vertex_stage(
+        chunk, visibility, view_proj, mat_transform)
+    part = fr.vertex_records(chunk, pos_w, nrm_w, tan_w, uv, clip)
+    return comm.all_gather(part).reshape(n * kv, 16)[:V]
+
+
 def _chunk_gather_rows(comm: _Comm, d, table: jnp.ndarray,
                        idx: jnp.ndarray):
     """Triangle-sharded row gather: device d gathers rows ``idx[d*k ..
@@ -177,59 +210,113 @@ def _chunk_gather_rows(comm: _Comm, d, table: jnp.ndarray,
 
 def _band_main_view_tris(scene: fr.DeviceScene, consts: fr.FrameConstants,
                          cfg: RenderConfig, comm: _Comm, d):
-    """Triangle-sharded main-view front end (the round-2 Amdahl term
-    past ~16 chips): the per-vertex stage stays replicated (dense math +
-    V-row gathers, small), but the 3-row-per-triangle attribute gather and
-    the near-plane clip are computed for a 1/n_dev triangle range per
-    device and all_gathered — the reassembled tables are bit-identical to
-    the replicated fr.main_view_tris, so every downstream consumer
+    """Vertex- and triangle-sharded main-view front end (the round-2
+    Amdahl term past ~16 chips): the per-vertex stage (sharded by vertex
+    ranges — _band_vertex_records), the 3-row-per-triangle attribute
+    gather, the near-plane clip AND the per-triangle screen setup are all
+    computed for 1/n_dev ranges per device and all_gathered — the
+    reassembled tables are bit-identical to the replicated
+    fr.main_view_tris (every op is per-row), so every downstream consumer
     (binning, resolve via tid indices) is unchanged."""
     n = comm.n_dev
     if n == 1:
         return fr.main_view_tris(scene, consts, cfg)
-    pos_w, nrm_w, tan_w, uv, clip = fr.vertex_stage(
-        scene.opaque, consts.opaque_visibility, consts.view_proj,
-        scene.mat_transform)
-    vrec = fr.vertex_records(scene.opaque, pos_w, nrm_w, tan_w, uv, clip)
+    vrec = _band_vertex_records(scene.opaque, consts.opaque_visibility,
+                                consts.view_proj, scene.mat_transform,
+                                comm, d)
     tri_idx = scene.opaque.indices.reshape(-1, 3)
     T = tri_idx.shape[0]
     k = -(-T // n)
-    idx_p = jnp.pad(tri_idx, ((0, n * k - T), (0, 0)))
-    chunk = jax.lax.dynamic_slice_in_dim(idx_p, d * k, k, axis=0)
+    chunk = _row_chunk(d, tri_idx, k, n)
     a = vrec[chunk]  # (k, 3, 16) — the sharded gather
     valid0 = (d * k + jnp.arange(k, dtype=jnp.int32)) < T
     a2, valid = clipping.clip_near(a, valid0)  # (2k, ...): k mains+k extras
+    # per-triangle screen setup on the chunk (sharded too — replicated
+    # setup over the full 2T table measured ~2.5 ms flat)
+    t_chunk = rz.setup_tri_verts(a2[..., :4], valid,
+                                 cfg.width, cfg.height)
     g = comm.all_gather(a2)       # (n, 2k, 3, 16)
-    gv = comm.all_gather(valid)   # (n, 2k)
-    # reassemble the replicated clip_near layout: all mains, then extras
-    tri_attr = jnp.concatenate([
-        g[:, :k].reshape(n * k, 3, 16)[:T],
-        g[:, k:].reshape(n * k, 3, 16)[:T]])
-    tri_valid = jnp.concatenate([gv[:, :k].reshape(n * k)[:T],
-                                 gv[:, k:].reshape(n * k)[:T]])
-    tris = rz.setup_tri_verts(tri_attr[..., :4], tri_valid,
-                              cfg.width, cfg.height)
+    gv = comm.all_gather(t_chunk.valid)  # (n, 2k)
+    gxy = comm.all_gather(t_chunk.xy)
+    gz = comm.all_gather(t_chunk.z)
+    giw = comm.all_gather(t_chunk.inv_w)
+
+    def reasm(x):
+        # reassemble the replicated clip_near layout: mains, then extras
+        return jnp.concatenate([
+            x[:, :k].reshape((n * k,) + x.shape[2:])[:T],
+            x[:, k:].reshape((n * k,) + x.shape[2:])[:T]])
+
+    tri_attr = reasm(g)
+    tris = rz.ScreenTris(xy=reasm(gxy), z=reasm(gz), inv_w=reasm(giw),
+                         valid=reasm(gv))
     return tris, tri_attr
 
 
 def _band_shadow_tri_world(scene: fr.DeviceScene, visibility,
                            comm: _Comm, d):
-    """Triangle-sharded shadow_tri_world: the world transform (dense +
-    V-row gathers) is replicated; the 3-row-per-triangle gather is sharded
-    and all_gathered. Bit-identical to fr.shadow_tri_world."""
+    """Vertex- and triangle-sharded shadow_tri_world: the world transform
+    runs on a 1/n_dev vertex range per device (one all_gather reassembles
+    the (V, 4) table), then the 3-row-per-triangle gather is sharded and
+    all_gathered. Bit-identical to fr.shadow_tri_world."""
     if comm.n_dev == 1:
         return fr.shadow_tri_world(scene.shadow, visibility)
     draw = scene.shadow
-    W = draw.worlds[draw.vertex_instance]
-    ph = jnp.concatenate(
-        [draw.positions, jnp.ones_like(draw.positions[..., :1])], axis=-1)
+    n = comm.n_dev
+    V = draw.positions.shape[0]
+    kv = -(-V // n)
+    pos_c = _row_chunk(d, draw.positions, kv, n)
+    vi_c = _row_chunk(d, draw.vertex_instance, kv, n)
+    W = draw.worlds[vi_c]
+    ph = jnp.concatenate([pos_c, jnp.ones_like(pos_c[..., :1])], axis=-1)
     from ..ops import shading
 
-    pos_w = shading.rowmat(ph, W)
-    pos_w = pos_w * visibility[draw.vertex_instance][:, None]
+    part = shading.rowmat(ph, W) * visibility[vi_c][:, None]
+    pos_w = comm.all_gather(part).reshape(n * kv, 4)[:V]
     full, _ = _chunk_gather_rows(comm, d, pos_w,
                                  draw.indices.reshape(-1, 3))
     return full  # (T, 3, 4)
+
+
+def _band_shadow_atlas_tris(scene: fr.DeviceScene,
+                            consts: fr.FrameConstants, cfg: RenderConfig,
+                            comm: _Comm, d):
+    """Triangle-sharded fr.shadow_atlas_tris: the per-cascade projection,
+    screen setup, atlas column shift and depth bias (all per-triangle —
+    measured ~3 ms replicated over 4 x 143k triangles at config 5) run on
+    the device's 1/n_dev triangle chunk of the sharded world-space table;
+    one all_gather reassembles the cascade-major (C*T) atlas layout
+    bit-identically."""
+    S = cfg.shadow_map_size
+    vps = consts.cascade_view_projs
+    C = vps.shape[0]
+    n = comm.n_dev
+    if n == 1:
+        return fr.shadow_atlas_tris(scene, consts.shadow_visibility, vps,
+                                    cfg)
+    tri_world = _band_shadow_tri_world(scene, consts.shadow_visibility,
+                                       comm, d)
+    T = tri_world.shape[0]
+    k = -(-T // n)
+    part = _row_chunk(d, tri_world, k, n)  # (k, 3, 4)
+    from ..ops import shading
+
+    chunks = []
+    for c in range(C):
+        t = rz.setup_tri_verts(shading.rowmat(part, vps[c]), None, S, S)
+        t = t._replace(xy=t.xy + jnp.asarray([c * S, 0.0], jnp.float32))
+        chunks.append(fr._shadow_bias(t))
+    stk = rz.ScreenTris(*[jnp.stack([getattr(t, f) for t in chunks])
+                          for f in rz.ScreenTris._fields])
+
+    def reasm(x):  # (n, C, k, ...) -> (C*T, ...)
+        return jnp.concatenate([
+            x[:, c].reshape((n * k,) + x.shape[3:])[:T] for c in range(C)])
+
+    tris = rz.ScreenTris(*[reasm(comm.all_gather(getattr(stk, f)))
+                           for f in rz.ScreenTris._fields])
+    col = jnp.repeat(jnp.arange(C, dtype=jnp.float32), T)
+    return tris, (col * S, (col + 1) * S)
 
 
 def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
@@ -251,11 +338,7 @@ def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
         tile_h = fr.SHADOW_TILE_H
         nty = -(-S // tile_h)
         rpd = -(-nty // n_dev)
-        tri_world = _band_shadow_tri_world(scene, consts.shadow_visibility,
-                                           comm, d)
-        tris, xrange = fr.shadow_atlas_tris(
-            scene, consts.shadow_visibility, consts.cascade_view_projs, cfg,
-            tri_world=tri_world)
+        tris, xrange = _band_shadow_atlas_tris(scene, consts, cfg, comm, d)
         depth, _ = rp.rasterize_pallas(
             tris, C * S, S, cap, tile_h=tile_h, with_ids=False,
             interpret=cfg.pallas_interpret, xrange=xrange,

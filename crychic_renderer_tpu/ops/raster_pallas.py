@@ -316,7 +316,9 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
     snapping happens inside build_records (binning bboxes stay
     conservative either way).
 
-    Band mode (multi-chip, parallel.sharded): when ``tile_row_offset``
+    Contiguous-band mode (kept for exactness tests and single-band
+    probes — the production sharded path uses the interleaved mode
+    below): when ``tile_row_offset``
     (traced scalar ok) and ``num_tile_rows`` (static) are given, binning
     and record anchoring still run over the FULL (width x height) screen,
     but the kernel grid covers only tile rows [tile_row_offset,

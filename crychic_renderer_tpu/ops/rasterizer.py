@@ -163,13 +163,14 @@ def bin_triangles(tris: ScreenTris, width: int, height: int,
     searchsorted trick (no per-triangle loop, no per-triangle cap), sorts
     pairs by tile id, and returns per-tile contiguous runs.
 
-    Band restriction (multi-chip, parallel.sharded): with ``ty_lo`` (traced
-    scalar ok) + ``num_rows`` (static), only pairs whose tile row falls in
-    [ty_lo, ty_lo + num_rows) are expanded — the expansion, sort and
-    downstream record build shrink instead of replicating the full-screen
-    binning on every device. Tile ids stay GLOBAL, and each in-band
-    tile's run holds the same triangles in the same order as the full
-    binning, so band rasterization is bit-identical.
+    Contiguous-band restriction (``ty_lo`` traced scalar ok + ``num_rows``
+    static): only pairs whose tile row falls in [ty_lo, ty_lo + num_rows)
+    are expanded. Tile ids stay GLOBAL, and each in-band tile's run holds
+    the same triangles in the same order as the full binning, so band
+    rasterization is bit-identical. NOTE: the production multi-chip path
+    (parallel.sharded) uses the INTERLEAVED mode below instead (contiguous
+    bands left the horizon-band device with 70-90% of the pairs); this
+    mode is kept for the exactness tests and single-band probes.
 
     Interleaved restriction (``row_stride=(n_dev, owner)``, owner traced
     ok): only tile rows ty with ty % n_dev == owner are expanded — pair
@@ -363,15 +364,17 @@ def rasterize_binned(tris: ScreenTris, bins: Bins, width: int, height: int,
     in ``bins.order`` in blocks of ``tri_block``, evaluating edge functions
     over the tile's pixels and keeping the nearest (z, tri_id) per pixel.
 
-    Band mode (see raster_pallas.rasterize_pallas): with tile_row_offset
-    (traced ok) + num_tile_rows (static), only those tile rows of the
-    full-screen bin table are rasterized, with GLOBAL tile origins — the
-    band's fp math is bit-identical to the single-chip render.
+    Contiguous-band mode (test-only, see raster_pallas.rasterize_pallas):
+    with tile_row_offset (traced ok) + num_tile_rows (static), only those
+    tile rows of the full-screen bin table are rasterized, with GLOBAL
+    tile origins — the band's fp math is bit-identical to the single-chip
+    render.
 
     Interleaved mode: with row_stride=(n_dev, owner) and bins from the
     matching bin_triangles call, the owner's strided tile rows are
     rasterized in permuted-key order; output row s*TILE_H + r is TRUE tile
-    row s * n_dev + owner (callers reassemble with a transpose).
+    row s * n_dev + owner (callers reassemble with a transpose). This is
+    the mode parallel.sharded uses in production.
 
     Returns (depth (rows, W), tri_id or None).
     """

@@ -570,7 +570,10 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
                            ambient_access, depth,
                            row_offset=(d * band_h).astype(jnp.float32),
                            full_height=H, shadow_factor=sf)
-    return img
+    # debug layers (forward-branch shadow quad / cascade colorization) at
+    # global row phase — keeps forward+shadows configs band-exact too
+    return fr.apply_debug_overlay(consts, cfg, img, shadow_maps,
+                                  g["pos_w"], row_offset=y0, full_height=H)
 
 
 def render_frame_sharded(scene: fr.DeviceScene, consts: fr.FrameConstants,
@@ -659,6 +662,31 @@ def band_requirements(scene: fr.DeviceScene, consts: fr.FrameConstants,
         out["shadow_band_pairs"] = worst
         out["shadow_band_capacity"] = _shadow_band_cap(cfg)
     return out
+
+
+def check_band_capacity(scene: fr.DeviceScene, consts: fr.FrameConstants,
+                        cfg: RenderConfig, n_dev: int) -> dict:
+    """Raise if THIS frame would overflow the sized per-band capacities —
+    the sharded-path mirror of Renderer.check_capacity (the band binning
+    truncates at band_pair_capacity and silently drops geometry past it).
+    Call per frame in a live loop (or after large camera moves when the
+    capacities came from autosize_band_capacities at an earlier camera).
+    Returns the band_requirements dict for logging."""
+    req = {k: (int(v) if not isinstance(v, int) else v)
+           for k, v in band_requirements(scene, consts, cfg, n_dev).items()}
+    if req["main_band_pairs"] > req["main_band_capacity"]:
+        raise RuntimeError(
+            f"sharded main raster overflow: worst device needs "
+            f"{req['main_band_pairs']} pairs > band capacity "
+            f"{req['main_band_capacity']}; re-run autosize_band_capacities")
+    if cfg.shadows_enabled and (req["shadow_band_pairs"]
+                                > req["shadow_band_capacity"]):
+        raise RuntimeError(
+            f"sharded shadow raster overflow: worst device needs "
+            f"{req['shadow_band_pairs']} pairs > band capacity "
+            f"{req['shadow_band_capacity']}; re-run "
+            f"autosize_band_capacities")
+    return req
 
 
 def make_mesh(n_devices: int = None, axis: str = "sp") -> Mesh:

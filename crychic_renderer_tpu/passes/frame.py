@@ -913,17 +913,24 @@ def capacity_requirements(scene: DeviceScene, consts: FrameConstants,
     C = cfg.num_cascades
     shadow_pairs = jnp.int32(0)
     shadow_max_tile = jnp.int32(0)
-    tri_world = shadow_tri_world(scene.shadow, consts.shadow_visibility)
-    for c in range(C):
-        t = rz.setup_tri_verts(
-            shading.rowmat(tri_world, consts.cascade_view_projs[c]),
-                               None, S, S)
-        sh_th = SHADOW_TILE_H if cfg.use_pallas else rz.TILE_H
-        tx0, ty0, bw, bh, ntx, nty = rz._tile_bbox(t, S, S, sh_th,
-                                                   rz.TILE_W)
-        shadow_pairs = shadow_pairs + (bw * bh).astype(jnp.int32).sum()
-        shadow_max_tile = jnp.maximum(
-            shadow_max_tile, max_tile_count(tx0, ty0, bw, bh, ntx, nty))
+    # no shadow pass -> no shadow raster to overflow; skip the 4-cascade
+    # setup entirely (it would be dead per-frame work in the viewer's
+    # jitted step and could raise a spurious overflow for a pass that
+    # never runs)
+    if cfg.shadows_enabled:
+        tri_world = shadow_tri_world(scene.shadow,
+                                     consts.shadow_visibility)
+        for c in range(C):
+            t = rz.setup_tri_verts(
+                shading.rowmat(tri_world, consts.cascade_view_projs[c]),
+                                   None, S, S)
+            sh_th = SHADOW_TILE_H if cfg.use_pallas else rz.TILE_H
+            tx0, ty0, bw, bh, ntx, nty = rz._tile_bbox(t, S, S, sh_th,
+                                                       rz.TILE_W)
+            shadow_pairs = shadow_pairs + (bw * bh).astype(jnp.int32).sum()
+            shadow_max_tile = jnp.maximum(
+                shadow_max_tile,
+                max_tile_count(tx0, ty0, bw, bh, ntx, nty))
     return dict(main_pairs=main_pairs, shadow_pairs=shadow_pairs,
                 main_max_tile=main_max_tile,
                 shadow_max_tile=shadow_max_tile)
@@ -971,29 +978,48 @@ def render_frame(scene: DeviceScene, consts: FrameConstants,
 
     img = lighting_pass(scene, consts, cfg, g, shadow_maps, ambient_access,
                         depth)
+    return apply_debug_overlay(consts, cfg, img, shadow_maps, g["pos_w"])
+
+
+def apply_debug_overlay(consts: FrameConstants, cfg: RenderConfig,
+                        img: jnp.ndarray, shadow_maps: jnp.ndarray,
+                        pos_w: jnp.ndarray, row_offset=0,
+                        full_height: int = None) -> jnp.ndarray:
+    """Debug-layer overlays on the lit image (shared by the single-chip and
+    band-sharded paths; `img`/`pos_w` may be a row band whose global first
+    row is `row_offset` of a `full_height`-row screen).
+
+    - ShadowDebug.hlsl quad: the reference's FORWARD branch always draws the
+      shadow-map blit quad (CRYCHIC.cpp:406-407, PSO "debug"); replicated
+      whenever the forward path has shadow maps to show, or on demand via
+      cfg.debug_view == "shadow_cascade3".
+    - "cascades": Default.hlsl:152-156 (commented out in the reference)
+      colorizes pixels by their selected cascade.
+    """
+    H, W = img.shape[:2]
+    full_h = full_height if full_height is not None else H
 
     draw_quad = cfg.debug_view == "shadow_cascade3" or (
-        # the reference's FORWARD branch always draws the shadow-map blit
-        # quad (CRYCHIC.cpp:406-407, PSO "debug"); replicate that default
-        # whenever the forward path has shadow maps to show
         not cfg.deferred and cfg.shadows_enabled and cfg.debug_view is None)
     if draw_quad:
-        # ShadowDebug.hlsl: blit gShadowMap[3] onto the debug quad, which
-        # CreateQuad(0,0,1,1,0) places in the bottom-right screen quadrant
-        qh, qw = H // 2, W // 2
+        # blit gShadowMap[3] onto the debug quad, which CreateQuad(0,0,1,1,0)
+        # places in the bottom-right screen quadrant
+        qh, qw = full_h // 2, W // 2
         S = shadow_maps.shape[1]
-        ys = (jnp.arange(qh) * S // qh)
+        gy = jnp.arange(H, dtype=jnp.int32) + jnp.asarray(row_offset,
+                                                          jnp.int32)
+        qy = gy - (full_h - qh)          # row within the quad (<0 above it)
+        ys = jnp.clip(qy, 0, qh - 1) * S // qh
         xs = (jnp.arange(qw) * S // qw)
-        blit = shadow_maps[3][ys[:, None], xs[None, :]]
+        blit = shadow_maps[3][ys[:, None], xs[None, :]]  # (H, qw)
         patch = jnp.repeat(blit[..., None], 3, axis=-1)
         patch = jnp.concatenate([patch, jnp.ones_like(patch[..., :1])], -1)
-        img = img.at[H - qh:, W - qw:, :].set(patch)
+        right = jnp.where((qy >= 0)[:, None, None], patch, img[:, W - qw:])
+        img = jnp.concatenate([img[:, :W - qw], right], axis=1)
     elif cfg.debug_view == "cascades":
-        # Default.hlsl:152-156 (commented out in the reference): colorize
-        # pixels by their selected cascade
         from ..models.cascades import CASCADE_RADII
 
-        dist = jnp.sqrt(((consts.eye_pos - g["pos_w"]) ** 2).sum(-1))
+        dist = jnp.sqrt(((consts.eye_pos - pos_w) ** 2).sum(-1))
         past = (dist[..., None] >= jnp.asarray(CASCADE_RADII)).sum(-1)
         colors = jnp.asarray([[1, 0, 0], [0, 1, 0], [0, 0, 1],
                               [1, 1, 1], [0.3, 0.3, 0.3]], jnp.float32)

@@ -117,3 +117,13 @@ def test_viewer_step_fn_display_and_capacity():
     xs = np.linspace(0, 127, 32).astype(int)
     want = (np.clip(full[ys][:, xs, :3], 0, 1) * 255 + 0.5).astype(np.uint8)
     assert np.abs(np.asarray(disp).astype(int) - want.astype(int)).max() <= 1
+
+    # shadows disabled -> no shadow raster exists to overflow: the probe
+    # reports 0 (and skips the dead 4-cascade setup in the jitted step)
+    # instead of sizing a guard for a pass that never runs
+    r2 = Renderer(scene, RenderConfig(
+        width=128, height=64, shadow_map_size=128,
+        ssao_enabled=False, shadows_enabled=False))
+    _, mp2, sp2 = r2.viewer_step_fn(16, 32)(
+        r2.device_scene, r2.frame_constants(0.0))
+    assert int(sp2) == 0 and int(mp2) > 0

@@ -35,10 +35,16 @@ def _u8(img):
 
 def _check_golden(name, img8, frac=0.005):
     path = GOLDEN_DIR / f"{name}.npz"
-    if os.environ.get("GOLDEN_UPDATE") or not path.exists():
+    if os.environ.get("GOLDEN_UPDATE"):
         GOLDEN_DIR.mkdir(exist_ok=True)
         np.savez_compressed(path, img=img8)
         pytest.skip(f"golden written to {path}")
+    # a missing golden is a FAILURE, not an invitation to self-bless: the
+    # current (possibly regressed) render must never silently become the
+    # new reference (only GOLDEN_UPDATE=1 writes)
+    assert path.exists(), (
+        f"golden {path} missing — restore it from git, or regenerate "
+        f"deliberately with GOLDEN_UPDATE=1")
     ref = np.load(path)["img"]
     assert ref.shape == img8.shape, (ref.shape, img8.shape)
     diff = np.abs(img8.astype(np.int16) - ref.astype(np.int16))

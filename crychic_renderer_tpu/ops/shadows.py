@@ -153,6 +153,33 @@ def superwindow_maps(shadow_maps):
     return sw.reshape(C, nb, nb, 256)  # row-major windows
 
 
+def pack_depth_rows_u16(x):
+    """f32 (..., 2K) depths in [0,1] -> u32 (..., K): 16-bit UNORM
+    quantize + pack 2 texels per lane — the elementwise head of
+    superwindow_maps_u16, exposed so parallel.sharded can pack each
+    device's atlas rows BEFORE the all_gather (quantization is per-texel,
+    so it commutes with row reassembly bit-exactly and halves the
+    exchanged + transposed bytes)."""
+    q = jnp.round(jnp.clip(x, 0.0, 1.0) * 65535.0).astype(jnp.uint32)
+    return q[..., 0::2] | (q[..., 1::2] << 16)
+
+
+def superwindow_from_packed(p):
+    """(C, S, S/2) u32 packed texel-pair rows -> (C, S/8, S/8, 128) u32:
+    the block-shuffle tail of superwindow_maps_u16 (see there)."""
+    C, S, _ = p.shape
+    nb = S // 8
+    b = p.reshape(C, nb, 8, nb, 4).transpose(0, 1, 3, 2, 4)
+    ip = jnp.minimum(jnp.arange(nb) + 1, nb - 1)
+    bx = b[:, :, ip]
+    by = b[:, ip]
+    bxy = by[:, :, ip]
+    top = jnp.concatenate([b, bx], axis=-1)          # (C, nb, nb, 8, 8)
+    bot = jnp.concatenate([by, bxy], axis=-1)
+    sw = jnp.concatenate([top, bot], axis=-2)        # (C, nb, nb, 16, 8)
+    return sw.reshape(C, nb, nb, 128)  # row-major packed windows
+
+
 def superwindow_maps_u16(shadow_maps):
     """(C, S, S) -> (C, S/8, S/8, 128) uint32: the 16x16 superwindow with
     depths quantized to 16-bit UNORM, packed 2 texels per u32 lane.
@@ -166,20 +193,7 @@ def superwindow_maps_u16(shadow_maps):
 
     Quantize + pack runs BEFORE the block shuffle so the transpose moves
     u32 pairs instead of f32 texels (half the bytes of packing last)."""
-    C, S, _ = shadow_maps.shape
-    nb = S // 8
-    q = jnp.round(jnp.clip(shadow_maps, 0.0, 1.0) * 65535.0
-                  ).astype(jnp.uint32)
-    p = q[..., 0::2] | (q[..., 1::2] << 16)          # (C, S, S/2)
-    b = p.reshape(C, nb, 8, nb, 4).transpose(0, 1, 3, 2, 4)
-    ip = jnp.minimum(jnp.arange(nb) + 1, nb - 1)
-    bx = b[:, :, ip]
-    by = b[:, ip]
-    bxy = by[:, :, ip]
-    top = jnp.concatenate([b, bx], axis=-1)          # (C, nb, nb, 8, 8)
-    bot = jnp.concatenate([by, bxy], axis=-1)
-    sw = jnp.concatenate([top, bot], axis=-2)        # (C, nb, nb, 16, 8)
-    return sw.reshape(C, nb, nb, 128)  # row-major packed windows
+    return superwindow_from_packed(pack_depth_rows_u16(shadow_maps))
 
 
 def _unpack_u16_window(w32):
@@ -341,7 +355,12 @@ def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
                == cascade_idx[None, ..., None]).astype(all_pos.dtype)
         return (all_pos * sel).sum(axis=0)
 
-    swin = superwindow_maps_u16(shadow_maps)
+    if shadow_maps.dtype == jnp.uint32 and shadow_maps.ndim == 3:
+        # pre-packed (C, S, S/2) texel-pair rows — parallel.sharded's
+        # atlas exchange ships u16 to halve ICI + reassembly bytes
+        swin = superwindow_from_packed(shadow_maps)
+    else:
+        swin = superwindow_maps_u16(shadow_maps)
     c_next = jnp.minimum(c + 1, 3)
     f_c = poisson_pcf_windowed(swin, c, shadow_pos_for(c), smap_size)
     f_n = poisson_pcf_windowed(swin, c_next, shadow_pos_for(c_next),

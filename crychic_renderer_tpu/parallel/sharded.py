@@ -320,7 +320,8 @@ def _band_shadow_atlas_tris(scene: fr.DeviceScene,
 
 
 def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
-                      cfg: RenderConfig, comm: _Comm, d) -> jnp.ndarray:
+                      cfg: RenderConfig, comm: _Comm, d,
+                      packed: bool = False) -> jnp.ndarray:
     """Shadow maps with INTERLEAVED tile-row ownership: device d
     rasterizes atlas tile rows ty with ty %% n_dev == d (owner-major
     permuted sort keys keep its runs contiguous for the streaming
@@ -328,7 +329,17 @@ def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
     (C, S, S) stack everywhere. Interleaving balances the heavily
     pair-skewed shadow load (~50%% of atlas pairs land in one contiguous
     band) to ~1/n_dev per device — contiguous atlas bands left the worst
-    device with several times the average kernel work."""
+    device with several times the average kernel work.
+
+    ``packed`` (Pallas path only): each device quantizes + u16-packs its
+    OWN atlas rows before the all_gather, returning (C, S, S/2) u32
+    texel-pair rows — half the ICI bytes and half the reassembly
+    transpose, and the superwindow build downstream skips its
+    quantize/pack head. Bit-identical PCF: quantization is per-texel, so
+    it commutes with the row reassembly, and the single-chip path
+    quantizes to the same u16 grid inside superwindow_maps_u16. Callers
+    keep f32 when raw depths are still consumed (alpha punch min-merge,
+    the shadow debug blit)."""
     C = cfg.num_cascades
     S = cfg.shadow_map_size
     n_dev = comm.n_dev
@@ -344,10 +355,15 @@ def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
             interpret=cfg.pallas_interpret, xrange=xrange,
             tiles_per_prog=32, row_stride=(n_dev, d))
         # depth: (rpd*tile_h, C*S), slot-major stripes
-        g = comm.all_gather(depth)  # (n_dev, rpd*tile_h, C*S)
-        full = g.reshape(n_dev, rpd, tile_h, C * S).transpose(
-            1, 0, 2, 3).reshape(n_dev * rpd * tile_h, C * S)[:S]
-        return jnp.stack([full[:, c * S:(c + 1) * S] for c in range(C)])
+        w = C * S
+        if packed:
+            depth = shadows.pack_depth_rows_u16(depth)
+            w = C * S // 2
+        g = comm.all_gather(depth)  # (n_dev, rpd*tile_h, w)
+        full = g.reshape(n_dev, rpd, tile_h, w).transpose(
+            1, 0, 2, 3).reshape(n_dev * rpd * tile_h, w)[:S]
+        cw = w // C
+        return jnp.stack([full[:, c * cw:(c + 1) * cw] for c in range(C)])
 
     # XLA path: per-cascade interleaved renders (the single-chip XLA path
     # renders per cascade, not the atlas — keeping the same viewport keeps
@@ -492,8 +508,16 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
     H, W = cfg.height, cfg.width
     H_pad = band_h * n_dev
 
+    alpha_on = cfg.alpha_test_enabled and scene.alpha is not None
     if cfg.shadows_enabled:
-        shadow_maps = _band_shadow_maps(scene, consts, cfg, comm, d)
+        # ship the atlas as u16 texel-pairs when nothing downstream needs
+        # f32 depths (see _band_shadow_maps); f32 is kept when the alpha
+        # punch must min-merge into the maps or the debug quad blits them
+        quad = cfg.debug_view == "shadow_cascade3" or (
+            not cfg.deferred and cfg.debug_view is None)
+        packed = cfg.use_pallas and not alpha_on and not quad
+        shadow_maps = _band_shadow_maps(scene, consts, cfg, comm, d,
+                                        packed=packed)
     else:
         shadow_maps = jnp.ones((cfg.num_cascades, 2, 2), jnp.float32)
 
@@ -539,7 +563,7 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
                                          axis=0)
     tid = jax.lax.dynamic_slice_in_dim(tid_full, y0, band_h + 1, axis=0)
 
-    if cfg.alpha_test_enabled and scene.alpha is not None:
+    if alpha_on:
         # AlphaTested layer: dense peel over the band's GLOBAL pixel rows
         # (+ the halo row) — same math as the single-chip merge, so band
         # output stays bit-identical

@@ -79,9 +79,16 @@ def main():
         comm = sharded._Comm("sp", n, sim_index=d)
         rep = {"band_h": band_h, "d": d}
 
+        # match _band_render's production gate: the Pallas path ships the
+        # atlas u16-packed when no f32 consumer remains
+        packed = (cfg_n.use_pallas
+                  and not (cfg_n.alpha_test_enabled
+                           and r.device_scene.alpha is not None)
+                  and cfg_n.deferred and cfg_n.debug_view is None)
+
         def shadow_fn(s, c):
             return sharded._band_shadow_maps(s, c, cfg_n, comm,
-                                             comm.index())
+                                             comm.index(), packed=packed)
 
         rep["shadow_band"] = timed(shadow_fn, scene, consts)
         shadow_maps = jax.jit(shadow_fn)(scene, consts)

@@ -8,7 +8,10 @@ program shard_map runs, including the replicated triangle setup, the
 band-restricted binning, the atlas band, and every gather's receive-buffer
 materialization — with `_Comm(sim_index=d)` standing in for the mesh
 (all_gather -> n_dev-fold tile of the local shard; same output shapes and
-HBM writes). What it cannot model is the ICI transfer itself, so the
+HBM writes). NOTE: the simulated gather carries the LOCAL shard's data in
+every slot, so the rendered image is deliberately WRONG for n_dev > 1 —
+this harness times the program; image correctness is validated by the
+shard_map tests (tests/test_multichip.py), which run real collectives. What it cannot model is the ICI transfer itself, so the
 report also prints the per-device all-gather byte volume and a parametric
 time estimate at 45 / 100 GB/s effective ICI bandwidth.
 
@@ -96,7 +99,13 @@ def main():
         # per-device all_gather receive volume ((n-1)/n of each full buffer)
         C, S = cfg.num_cascades, cfg.shadow_map_size
         H, W = cfg.height, cfg.width
-        bytes_full = C * S * S * 4  # shadow stack
+        # shadow stack: u16-packed when the production gate holds (see
+        # _band_render), f32 otherwise
+        packed = (cfg_n.use_pallas
+                  and not (cfg_n.alpha_test_enabled
+                           and scene_d.alpha is not None)
+                  and cfg_n.deferred and cfg_n.debug_view is None)
+        bytes_full = C * S * S * (2 if packed else 4)
         bytes_full += band_h * n * W * 8  # interleaved depth + tid buffer
         # triangle-sharded geometry reassembly: clipped tri_attr (2T x 3
         # x 16 f32; screen setup is recomputed locally from it) + shadow

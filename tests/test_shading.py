@@ -151,6 +151,34 @@ def test_windowed_pcf_matches_per_tap():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_superwindow_packed_split_identity():
+    """pack_depth_rows_u16 + superwindow_from_packed equals
+    superwindow_maps_u16 bit-exactly, and cascade_shadow_factor on the
+    pre-packed form equals the raw-f32 form — the contract the sharded
+    atlas exchange relies on (pack per device BEFORE the all_gather)."""
+    rng = np.random.default_rng(7)
+    S = 32
+    maps = jnp.asarray(rng.random((4, S, S), dtype=np.float32))
+    a = shadows.superwindow_maps_u16(maps)
+    b = shadows.superwindow_from_packed(shadows.pack_depth_rows_u16(maps))
+    assert a.shape == b.shape and (np.asarray(a) == np.asarray(b)).all()
+
+    M = np.zeros((4, 4, 4), np.float32)
+    for c in range(4):
+        M[c] = np.eye(4)
+        M[c][3, :3] = 0.5
+        M[c][0, 0] = M[c][1, 1] = M[c][2, 2] = 0.01
+    M = jnp.asarray(M)
+    eye = jnp.zeros(3)
+    pos = jnp.asarray(rng.uniform(-20, 20, (4, 4, 3)).astype(np.float32))
+    f_raw = shadows.cascade_shadow_factor(maps, M, pos, eye, S,
+                                          deferred_blend_quirk=True)
+    f_packed = shadows.cascade_shadow_factor(
+        shadows.pack_depth_rows_u16(maps), M, pos, eye, S,
+        deferred_blend_quirk=True)
+    assert (np.asarray(f_raw) == np.asarray(f_packed)).all()
+
+
 def test_grid_pcf_boxes():
     S = 32
     maps = jnp.ones((4, S, S))

@@ -13,8 +13,14 @@ edge-function tensors to HBM, making it bandwidth-bound (~775 ms/frame at
   has a DYNAMIC trip count: empty tiles cost ~nothing (the D3D12
   hardware's tile binning, recreated in software);
 - the z-buffer and triangle-id buffer live in VMEM/registers across the
-  loop; edge/depth evaluation is broadcast FMA over a (1024 pixels x
-  TB tris) layout (pixels on sublanes, triangles on lanes).
+  loop; edge/depth evaluation is VPU broadcast FMA in a (TB tris x P
+  pixels) layout: each block's (16, TB) record transposes once in VMEM
+  and the 4 planes are (TB,1)x(1,P) FMAs. (Round 1-2 evaluated the
+  planes as one (16,TB)x(16,4P) MXU matmul at HIGHEST precision; with a
+  contraction dim of 16 on the 128-deep MXU that paid ~8x its useful
+  work — the FMA form measured 14 ms faster on the config-5 shadow
+  atlas and 3 ms on the main view, bit-identical tids, |dz| <= 6e-8;
+  experiments/fma_kernel_probe.py.)
 
 Record layout (built by `build_records`, transposed so a TB-wide slice is
 one native (16, 128) f32 tile): rows 0-2 = edge A coeffs, 3-5 = B, 6-8 =
@@ -84,37 +90,7 @@ def tri_records(tris: rz.ScreenTris, xrange=None) -> jnp.ndarray:
 TILES_PER_PROG = 16  # amortizes per-program overhead + enlarges output DMA
 
 
-def _plane_matrix(tile_h: int):
-    """Q (16, 4P) f32: Q[k, j*P + p] = the factor multiplying record row k
-    for plane j at tile-local pixel p — planes j=0,1,2 are the edges (rows
-    A=j, B=3+j, C=6+j), j=3 is depth (rows 9, 10, 11). Built ONCE in XLA
-    and passed to the kernel with a constant index_map, so the Pallas
-    pipeline keeps it VMEM-resident across all grid programs (building it
-    in-kernel re-materialized ~P*64 floats per program)."""
-    P = tile_h * TILE_W
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    px = (pidx % TILE_W).astype(jnp.float32) + 0.5
-    py = (pidx // TILE_W).astype(jnp.float32) + 0.5
-    zero = jnp.zeros((1, P), jnp.float32)
-    one = jnp.ones((1, P), jnp.float32)
-    rows = []
-    for k in range(16):
-        segs = []
-        for j in range(4):
-            a_row, b_row, c_row = (j, 3 + j, 6 + j) if j < 3 else (9, 10, 11)
-            if k == a_row:
-                segs.append(px)
-            elif k == b_row:
-                segs.append(py)
-            elif k == c_row:
-                segs.append(one)
-            else:
-                segs.append(zero)
-        rows.append(jnp.concatenate(segs, axis=1))
-    return jnp.concatenate(rows, axis=0)  # (16, 4P)
-
-
-def _raster_kernel(starts_ref, counts_ref, records_hbm, q_ref, depth_ref,
+def _raster_kernel(starts_ref, counts_ref, records_hbm, depth_ref,
                    *rest, tile_h: int, with_ids: bool,
                    with_xrange: bool = False, tpp: int = TILES_PER_PROG):
     """Flat-streaming rasterizer (layouts: Mosaic tiles are (8, 128)).
@@ -142,12 +118,8 @@ def _raster_kernel(starts_ref, counts_ref, records_hbm, q_ref, depth_ref,
     P = tile_h * TILE_W
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     px = (pidx % TILE_W).astype(jnp.float32) + 0.5
+    py = (pidx // TILE_W).astype(jnp.float32) + 0.5
     sub = jax.lax.broadcasted_iota(jnp.int32, (TRI_BLOCK, 1), 0)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-    e_id = (row_iota == 12).astype(jnp.float32)
-    e_xlo = (row_iota == 13).astype(jnp.float32)
-    e_xhi = (row_iota == 14).astype(jnp.float32)
-    Q = q_ref[...]
 
     base = i * tpp
     s0 = starts_ref[base]
@@ -181,39 +153,26 @@ def _raster_kernel(starts_ref, counts_ref, records_hbm, q_ref, depth_ref,
             dma(jax.lax.rem(b + 1, 2), b + 1).start()
 
         dma(slot, b).wait()
-        rec = rec_buf[slot]  # (16, TRI_BLOCK)
+        recT = rec_buf[slot].T  # (TRI_BLOCK, 16); one in-VMEM transpose
 
-        # all 3 edge functions + the depth plane in one f32 matmul
-        E_all = jax.lax.dot_general(
-            rec, Q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # (TB, 4P)
-        E0 = E_all[:, 0 * P:1 * P]
-        E1 = E_all[:, 1 * P:2 * P]
-        E2 = E_all[:, 2 * P:3 * P]
+        def col(k):
+            return recT[:, k:k + 1]  # (TB, 1)
+
+        # all 3 edge functions + the depth plane as (TB,1)x(1,P) broadcast
+        # FMAs on the VPU (see module doc: this replaced a K=16 MXU
+        # matmul). f32 throughout — ids/planes carry exact f32 values, so
+        # the round-2 MXU-bf16 id-rounding hazard no longer exists.
+        E0 = col(0) * px + col(3) * py + col(6)
+        E1 = col(1) * px + col(4) * py + col(7)
+        E2 = col(2) * px + col(5) * py + col(8)
         cov = jnp.minimum(jnp.minimum(E0, E1), E2) >= 0.0
         if with_xrange:
             # atlas column guard: pixel center x within [xlo, xhi)
-            xlo = jax.lax.dot_general(
-                rec, e_xlo, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)  # (TB, 1)
-            xhi = jax.lax.dot_general(
-                rec, e_xhi, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            cov = cov & (px >= xlo) & (px < xhi)
-        z = E_all[:, 3 * P:4 * P]
+            cov = cov & (px >= col(13)) & (px < col(14))
+        z = col(9) * px + col(10) * py + col(11)
         z = jnp.where(cov & (z >= 0.0) & (z <= 1.0), z, jnp.inf)
         if with_ids:
-            # HIGHEST precision is required: the MXU's default one-pass
-            # bf16 rounds triangle ids to 8 mantissa bits (id 40790 came
-            # out 40704 — every kernel winner snapped to a multiple of
-            # 128/256; found by the on-TPU pallas-vs-XLA parity sweep)
-            ids_col = jax.lax.dot_general(
-                rec, e_id, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)  # (TB, 1)
+            ids_col = col(12)  # (TB, 1)
 
         # demux the block's rows to the tiles they belong to
         g = (first_blk + b) * TRI_BLOCK + sub  # (TB, 1) global pair index
@@ -410,12 +369,7 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_progs,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            # constant index_map: the pipeline keeps Q resident across
-            # programs instead of rebuilding it per program
-            pl.BlockSpec((16, 4 * P), lambda i, *_: (0, 0)),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
@@ -424,7 +378,7 @@ def rasterize_pallas(tris: rz.ScreenTris, width: int, height: int,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(starts, counts, records, _plane_matrix(tile_h))
+    )(starts, counts, records)
     depth_flat = outs[0][:grid_tiles]
     tid_flat = outs[1][:grid_tiles] if with_ids else None
     if row_stride is not None:

@@ -241,9 +241,14 @@ def bin_triangles(tris: ScreenTris, width: int, height: int,
     else:
         tile_id = jnp.where(valid_pair, ty * ntx + tx, num_keys)
 
-    sort_order = jnp.argsort(tile_id)
-    sorted_tile = tile_id[sort_order]
-    order = tri_of_pair[sort_order].astype(jnp.int32)
+    # ONE stable sort carrying tri_of_pair as a value — argsort + two
+    # P-row gathers by sort_order measured ~5 ms slower on the config-5
+    # shadow atlas (experiments/bin_decomp_probe.py). Stability keeps
+    # each tile run's pair (and hence tri) ids ascending, which the
+    # kernel's exact-z tie rule relies on.
+    sorted_tile, order = jax.lax.sort(
+        (tile_id, tri_of_pair.astype(jnp.int32)), num_keys=1,
+        is_stable=True)
 
     # per-tile (start, count) via histogram + exclusive cumsum
     hist = jnp.zeros(num_keys, jnp.int32).at[tile_id].add(1, mode="drop")

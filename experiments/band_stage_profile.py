@@ -77,7 +77,17 @@ def main():
                     scene, ssao_random_field=sharded._pad_rows(
                         scene.ssao_random_field, need))
         comm = sharded._Comm("sp", n, sim_index=d)
-        rep = {"band_h": band_h, "d": d}
+
+        class _Live(dict):
+            """Print each stage as it lands (late failures keep results)."""
+
+            def __setitem__(self, k, v):
+                print(f"  {k}: "
+                      f"{round(v, 2) if isinstance(v, float) else v}",
+                      flush=True)
+                super().__setitem__(k, v)
+
+        rep = _Live({"band_h": band_h, "d": d})
 
         # match _band_render's production gate: the Pallas path ships the
         # atlas u16-packed when no f32 consumer remains
@@ -170,6 +180,10 @@ def main():
                                                   consts, tri_world)
 
             def swin_fn(sm):
+                # the packed atlas exchange already ships u16 texel-pairs;
+                # downstream builds superwindows straight from them
+                if sm.dtype == jnp.uint32:
+                    return shadows.superwindow_from_packed(sm)
                 return shadows.superwindow_maps_u16(sm)
 
             rep["sub_superwindow_u16"] = timed(swin_fn, shadow_maps)

@@ -355,16 +355,43 @@ def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
                == cascade_idx[None, ..., None]).astype(all_pos.dtype)
         return (all_pos * sel).sum(axis=0)
 
-    if shadow_maps.dtype == jnp.uint32 and shadow_maps.ndim == 3:
-        # pre-packed (C, S, S/2) texel-pair rows — parallel.sharded's
-        # atlas exchange ships u16 to halve ICI + reassembly bytes
-        swin = superwindow_from_packed(shadow_maps)
+    def swin_of(maps):
+        if maps.dtype == jnp.uint32 and maps.ndim == 3:
+            # pre-packed (C, S, S/2) texel-pair rows — parallel.sharded's
+            # atlas exchange ships u16 to halve ICI + reassembly bytes
+            return superwindow_from_packed(maps)
+        return superwindow_maps_u16(maps)
+
+    if shadow_maps.shape[0] == 4:
+        # Cascade-PARITY table split: the two per-pixel PCF windows hit
+        # cascades c and c+1, which always have opposite parity (c=3
+        # blends with itself, and blend is False there in both quirk
+        # modes). Two half-size superwindow tables (cascades {0,2} and
+        # {1,3}, 67 MB each at S=2048) therefore serve the exact same
+        # two row gathers as the single 134 MB table — and HBM gather
+        # latency drops with table size (measured ~24 ns/row at >=128 MB
+        # vs ~17 at 64 MB, experiments/pcf_split_probe.py). Each table is
+        # built INDEPENDENTLY from its own cascades' maps so XLA
+        # materializes two buffers instead of folding a slice back into
+        # one large gather. Bit-exact: every selected PCF value comes
+        # from the identical cascade window and projection.
+        swin_e = swin_of(shadow_maps[0::2])  # cascades 0, 2
+        swin_o = swin_of(shadow_maps[1::2])  # cascades 1, 3
+        even = (c & 1) == 0
+        ce = jnp.where(even, c, jnp.minimum(c + 1, 2))  # dummy 2 at c=3
+        co = jnp.where(even, c + 1, c)
+        f_e = poisson_pcf_windowed(swin_e, ce >> 1, shadow_pos_for(ce),
+                                   smap_size)
+        f_o = poisson_pcf_windowed(swin_o, co >> 1, shadow_pos_for(co),
+                                   smap_size)
+        f_c = jnp.where(even, f_e, f_o)
+        f_n = jnp.where(even, f_o, f_e)  # unused (blend False) when c == 3
     else:
-        swin = superwindow_maps_u16(shadow_maps)
-    c_next = jnp.minimum(c + 1, 3)
-    f_c = poisson_pcf_windowed(swin, c, shadow_pos_for(c), smap_size)
-    f_n = poisson_pcf_windowed(swin, c_next, shadow_pos_for(c_next),
-                               smap_size)
+        swin = swin_of(shadow_maps)
+        c_next = jnp.minimum(c + 1, 3)
+        f_c = poisson_pcf_windowed(swin, c, shadow_pos_for(c), smap_size)
+        f_n = poisson_pcf_windowed(swin, c_next, shadow_pos_for(c_next),
+                                   smap_size)
 
     if deferred_blend_quirk:
         blend = c < 3

@@ -43,6 +43,12 @@ bands render rows of the padded screen with TRUE-height NDC math, and the
 pad rows are cropped after the shard_map — 1080 rows shard 8-ways as
 8 x 136 with the last 8 rows cropped.
 
+Past ~32 chips band sharding flattens on its per-device base (PERF.md),
+so a second REPLICA mesh axis (render_frames_replicated) runs independent
+frames in flight data-parallel — zero cross-replica collectives, r-fold
+throughput for r frames of latency, the mesh generalization of the
+reference's 3-deep FrameResource pipeline (CRYCHIC.cpp:135-146).
+
 Determinism note: visible rows are bit-identical to the single-chip
 render (global tile anchors + halo-exact resampling); only reduction-order
 fp noise remains.
@@ -718,3 +724,75 @@ def make_mesh(n_devices: int = None, axis: str = "sp") -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# Replica axis: data-parallel frames in flight
+# ---------------------------------------------------------------------------
+
+def make_mesh2(n_rep: int, n_band: int, rep_axis: str = "rep",
+               band_axis: str = "sp") -> Mesh:
+    """A 2D (replica, band) mesh over the first n_rep*n_band devices.
+    Replica groups are laid out along the SLOW mesh dim so each group's
+    band all_gathers ride a contiguous device block (the ICI-neighbor
+    layout); there is no cross-replica communication at all."""
+    devs = jax.devices()[: n_rep * n_band]
+    return Mesh(np.array(devs).reshape(n_rep, n_band),
+                (rep_axis, band_axis))
+
+
+def stack_frames(pytrees):
+    """Stack per-frame pytrees (DeviceScene or FrameConstants) along a new
+    leading replica axis — the input format of render_frames_replicated.
+    Frames in flight differ only in small leaves (frame constants, the
+    animated mat_pair table); the big scene arrays are identical and XLA
+    deduplicates the broadcast on device."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *pytrees)
+
+
+def render_frames_replicated(scenes, consts, cfg: RenderConfig, mesh: Mesh,
+                             rep_axis: str = "rep",
+                             band_axis: str = "sp") -> jnp.ndarray:
+    """n_rep independent frames, each band-sharded n_band ways, in ONE
+    dispatch over a 2D (replica, band) mesh. Returns (n_rep, H, W, 4).
+
+    Band sharding alone flattens past ~32 chips on its ~19 ms replicated
+    per-device base (PERF.md); frames in flight are INDEPENDENT, so the
+    replica axis multiplies throughput with zero cross-replica
+    collectives — the TPU-mesh generalization of the reference's own
+    3-deep FrameResource pipeline (/root/reference/CRYCHIC.h:20
+    gNumFrameResources=3, CRYCHIC.cpp:135-146): replica r renders frame
+    i+r while the host prepares the next batch, trading r frames of
+    latency for r-fold throughput exactly like the reference trades 3.
+
+    scenes/consts: pytrees stacked along a leading n_rep axis
+    (stack_frames). All _Comm collectives inside _band_render name only
+    the band axis, so shard_map scopes them to each replica group.
+    """
+    n_rep = mesh.shape[rep_axis]
+    n_dev = mesh.shape[band_axis]
+    band_h = band_height(cfg, n_dev)
+    H_pad = band_h * n_dev
+    if cfg.ssao_enabled:
+        need = H_pad // cfg.ssao_scale
+        field = scenes.ssao_random_field  # (n_rep, rows, ...)
+        if field.shape[1] < need:
+            pad = jnp.repeat(field[:, -1:], need - field.shape[1], axis=1)
+            scenes = dataclasses.replace(
+                scenes, ssao_random_field=jnp.concatenate([field, pad], 1))
+
+    def body(scene_s, consts_s):
+        scene1 = jax.tree.map(lambda x: x[0], scene_s)
+        consts1 = jax.tree.map(lambda x: x[0], consts_s)
+        img = _band_render(scene1, consts1, cfg,
+                           _Comm(band_axis, n_dev), band_h)
+        return img[None]
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(rep_axis), P(rep_axis)),
+        out_specs=P(rep_axis, band_axis),
+        check_vma=False,
+    )
+    imgs = fn(scenes, consts)
+    return imgs[:, :cfg.height] if H_pad != cfg.height else imgs

@@ -149,6 +149,40 @@ def test_sharded_fast_preset_odd_band_exact():
     _compare_sharded(cfg, r, 4, tight=1e-3)
 
 
+@pytest.mark.slow
+def test_replicated_frames_match_single():
+    """The replica axis (2D (rep, band) mesh, data-parallel frames in
+    flight) renders each replica's frame identically to the single-chip
+    render of that frame — two different camera times, each band-sharded
+    2 ways on a 2x2 virtual mesh, one dispatch."""
+    import functools
+    import jax.numpy as jnp
+    from crychic_renderer_tpu.parallel import sharded
+    from crychic_renderer_tpu.passes import frame as fr
+
+    r, cfg = _small_scene_and_cfg()
+    c0 = r.frame_constants(0.0)
+    r.camera.walk(2.0)
+    r.camera.rotate_y(0.1)
+    c1 = r.frame_constants(0.5)
+    single = [
+        np.asarray(jax.jit(functools.partial(fr.render_frame, cfg=cfg))(
+            r.device_scene, c)) for c in (c0, c1)]
+
+    mesh = sharded.make_mesh2(2, 2)
+    scenes = sharded.stack_frames([r.device_scene, r.device_scene])
+    consts = sharded.stack_frames([c0, c1])
+    multi = np.asarray(jax.jit(functools.partial(
+        sharded.render_frames_replicated, cfg=cfg, mesh=mesh))(
+            scenes, consts))
+
+    assert multi.shape == (2, cfg.height, cfg.width, 4)
+    assert not np.allclose(single[0], single[1])  # frames really differ
+    for i in range(2):
+        diff = np.abs(multi[i] - single[i]).max(axis=-1)
+        assert (diff > 0.02).mean() < 1e-3
+
+
 def test_check_band_capacity_guard():
     """check_band_capacity passes at autosized capacities and raises when
     a device's pair load exceeds the band capacity (the sharded mirror of

@@ -179,6 +179,65 @@ def test_superwindow_packed_split_identity():
     assert (np.asarray(f_raw) == np.asarray(f_packed)).all()
 
 
+def test_cascade_parity_split_matches_single_table():
+    """cascade_shadow_factor's cascade-parity table split (two 2-cascade
+    superwindow tables) is bit-exact vs the single-table formulation, at
+    positions spanning every cascade (incl. c=3, which blends with itself
+    and whose blend flag is false) and the no-shadow range, in both quirk
+    modes."""
+    rng = np.random.default_rng(11)
+    S = 32
+    maps = jnp.asarray(rng.random((4, S, S), dtype=np.float32))
+    M = np.zeros((4, 4, 4), np.float32)
+    for c in range(4):
+        M[c] = np.eye(4)
+        M[c][3, :3] = 0.5
+        M[c][0, 0] = M[c][1, 1] = M[c][2, 2] = 0.004
+    M = jnp.asarray(M)
+    eye = jnp.zeros(3)
+    # distances 5..120 sweep cascades 0..3 (radii 30/50/80/100) + none
+    d = np.linspace(5.0, 120.0, 64, dtype=np.float32)
+    pos = np.zeros((8, 8, 3), np.float32)
+    pos[..., 0] = d.reshape(8, 8)
+    pos = jnp.asarray(pos)
+
+    from crychic_renderer_tpu.ops.shading import rowmat
+    from crychic_renderer_tpu.models.cascades import CASCADE_RADII
+
+    def single_table_reference(quirk):
+        radii = jnp.asarray(CASCADE_RADII)
+        dist = jnp.sqrt(((eye - pos) ** 2).sum(-1))
+        past = (dist[..., None] >= radii[None, None, :]).sum(-1)
+        c = jnp.clip(past, 0, 3).astype(jnp.int32)
+        ph = jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], axis=-1)
+        all_pos = jnp.stack([rowmat(ph, M[ci]) for ci in range(4)])
+
+        def pos_for(ci):
+            sel = (jnp.arange(4)[:, None, None, None]
+                   == ci[None, ..., None]).astype(all_pos.dtype)
+            return (all_pos * sel).sum(axis=0)
+
+        swin = shadows.superwindow_maps_u16(maps)
+        cn = jnp.minimum(c + 1, 3)
+        f_c = shadows.poisson_pcf_windowed(swin, c, pos_for(c), S)
+        f_n = shadows.poisson_pcf_windowed(swin, cn, pos_for(cn), S)
+        blend = (c < 3) if quirk else (
+            (c < 3) & (jnp.abs(dist - radii[c]) < 10.0))
+        f = jnp.where(blend, 0.5 * (f_c + f_n), f_c)
+        return jnp.where(past >= 4, 1.0, f)
+
+    for quirk in (True, False):
+        got = shadows.cascade_shadow_factor(
+            maps, M, pos, eye, S, deferred_blend_quirk=quirk)
+        want = single_table_reference(quirk)
+        assert (np.asarray(got) == np.asarray(want)).all()
+    # the sweep actually exercises every cascade
+    dist = np.asarray(np.sqrt(((np.zeros(3) - np.asarray(pos)) ** 2
+                               ).sum(-1)))
+    past = (dist[..., None] >= np.asarray(CASCADE_RADII)).sum(-1)
+    assert set(np.clip(past, 0, 4).ravel()) == {0, 1, 2, 3, 4}
+
+
 def test_grid_pcf_boxes():
     S = 32
     maps = jnp.ones((4, S, S))

@@ -379,6 +379,10 @@ def _mat_select(table: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
 # Geometry / attribute interpolation (the visibility-buffer resolve)
 # ---------------------------------------------------------------------------
 
+# Invalid pixels' record gathers fan out over this many duplicated copies
+# of record row 0 (value-identical; kills gather hot-row contention).
+_DEAD_SPREAD = 1024
+
 def vertex_records(draw: DeviceDraw, pos_w, nrm_w, tan_w, uv, clip):
     """Per-VERTEX records (V, 16): [clip4 | posW3 | nrm3 | tan3 | uv2 |
     mat1] — the clip-space-linear quantities near-plane clipping
@@ -421,7 +425,6 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
     if full_height is None:
         full_height = H
     valid = tid >= 0
-    safe_tid = jnp.maximum(tid, 0)
 
     # Everything a pixel needs packed into ONE 64-wide per-TRIANGLE record
     # (screen xy + 1/w + 3 vertices' attrs + material): a single row
@@ -436,6 +439,17 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
         a[:, 0, 11:12],                                 # 42 material
     ], axis=-1)
     rec = jnp.pad(rec, ((0, 0), (0, 64 - rec.shape[1])))
+    # Hot-row fix: tid < 0 (sky — 48% of config 5's pixels) used to clamp
+    # to row 0, and the TPU gather engine serializes on a hot row
+    # (measured ~8 ms/frame of contention, experiments/hot_row_probe.py).
+    # Append _DEAD_SPREAD copies of row 0 and fan invalid pixels across
+    # them — gathered VALUES are identical, so this is bit-exact.
+    T = rec.shape[0]
+    rec = jnp.concatenate([rec, jnp.tile(rec[0:1], (_DEAD_SPREAD, 1))])
+    pix = (jnp.arange(H, dtype=jnp.int32)[:, None] * W
+           + jnp.arange(W, dtype=jnp.int32)[None, :])
+    safe_tid = jnp.where(valid, jnp.maximum(tid, 0),
+                         T + pix % _DEAD_SPREAD)
     r = rec[safe_tid]  # (H, W, 64) — the one per-pixel gather
 
     xy = r[..., :6].reshape(H, W, 3, 2)

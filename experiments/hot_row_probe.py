@@ -149,8 +149,9 @@ def main():
     t_real = amortized(g_win, flatE, idxE_d)
     # spread: invalid pixels redirected uniformly over the whole table
     M = flatE.shape[0]
-    idx_spread = jnp.where(jnp.asarray(~invalid), idxE_d,
-                           (pix * 2654435761 % M).astype(jnp.int32))
+    hashed = (pix.astype(jnp.uint32) * jnp.uint32(2654435761)
+              % jnp.uint32(M)).astype(jnp.int32)
+    idx_spread = jnp.where(jnp.asarray(~invalid), idxE_d, hashed)
     t_spr = amortized(g_win, flatE, idx_spread)
     print(f"pcf window gather (one table): real {t_real:7.2f} ms vs "
           f"invalid-spread {t_spr:7.2f} ms", flush=True)

@@ -55,22 +55,20 @@ def profile_frame(renderer, total_time: float = 0.0, reps: int = 5) -> dict:
     H, W = cfg.height, cfg.width
     report = {}
 
-    vs = jax.jit(lambda s, c: fr.vertex_stage(
+    va = jax.jit(lambda s, c: fr.tri_attrs(
         s.opaque, c.opaque_visibility, c.view_proj, s.mat_transform))
-    report["vertex_stage"] = _time(vs, scene, consts, reps=reps)
-    pos_w, nrm_w, tan_w, uv, clip = vs(scene, consts)
+    report["tri_attrs"] = _time(va, scene, consts, reps=reps)
+    tri_attr0 = va(scene, consts)
 
-    def setup_fn(cl, s, pw, nw, tw, uvv):
-        ta = fr.build_tri_attrs(s.opaque, pw, nw, tw, uvv, cl)
+    def setup_fn(ta):
         from ..ops import clipping
 
         ta, tv = clipping.clip_near(ta, jnp.ones(ta.shape[0], bool))
         return ta, rz.setup_tri_verts(ta[..., :4], tv, W, H)
 
     setup = jax.jit(setup_fn)
-    report["tri_setup"] = _time(setup, clip, scene, pos_w, nrm_w, tan_w, uv,
-                                reps=reps)
-    tri_attr, tris = setup(clip, scene, pos_w, nrm_w, tan_w, uv)
+    report["tri_setup"] = _time(setup, tri_attr0, reps=reps)
+    tri_attr, tris = setup(tri_attr0)
 
     if cfg.use_pallas:
         ntx = -(-W // rp.TILE_W)

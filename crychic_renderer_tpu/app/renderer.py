@@ -162,7 +162,7 @@ def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
         cubemap = sampling.pack_cubemap(load_sky_cubemap(sky_cubemap_path))
     else:
         cubemap = sampling.pack_cubemap(sampling.procedural_sky_cubemap(256))
-    return fr.DeviceScene(
+    return fr.attach_draw_statics(fr.DeviceScene(
         opaque=fr.DeviceDraw.from_host(scene.opaque),
         shadow=fr.DeviceDraw.from_host(scene.shadow),
         alpha=(fr.DeviceDraw.from_host(scene.alpha)
@@ -187,7 +187,7 @@ def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
             ssao_ops.build_random_vector_texture(), *ssao_dims)),
         ssao_blur_weights=jnp.asarray(ssao_ops.calc_gauss_weights(2.5)),
         n_big_pairs=pool.n_big,
-    ), anim_specs
+    )), anim_specs
 
 
 class Renderer:

@@ -73,6 +73,7 @@ from ..config import RenderConfig
 from ..ops import clipping
 from ..ops import rasterizer as rz
 from ..ops import raster_pallas as rp
+from ..ops import shading
 from ..ops import shadows
 from ..ops import ssao as ssao_ops
 from ..passes import frame as fr
@@ -227,14 +228,29 @@ def _band_main_view_tris(scene: fr.DeviceScene, consts: fr.FrameConstants,
     n = comm.n_dev
     if n == 1:
         return fr.main_view_tris(scene, consts, cfg)
-    vrec = _band_vertex_records(scene.opaque, consts.opaque_visibility,
-                                consts.view_proj, scene.mat_transform,
-                                comm, d)
-    tri_idx = scene.opaque.indices.reshape(-1, 3)
-    T = tri_idx.shape[0]
+    draw = scene.opaque
+    T = draw.indices.shape[0] // 3
     k = -(-T // n)
-    chunk = _row_chunk(d, tri_idx, k, n)
-    a = vrec[chunk]  # (k, 3, 16) — the sharded gather
+    if draw.tri_rest is not None:
+        # statics (fr.draw_with_statics): the chunk's records come from a
+        # dense clip FMA over the precomputed corner tables + a tiny vis
+        # gather — no vertex_records build, no sharded corner gather, no
+        # per-vertex all_gather. Pad rows carry arbitrary values (like the
+        # legacy path's index-0 pad gathers) and are killed by valid0.
+        poswh_c = _row_chunk(d, draw.tri_posw_h, k, n)
+        poswh_c = jnp.concatenate(
+            [poswh_c[..., :3], jnp.ones_like(poswh_c[..., :1])], -1)
+        clip = shading.rowmat(poswh_c, consts.view_proj)
+        vis_c = consts.opaque_visibility[
+            _row_chunk(d, draw.tri_instance, k, n)]
+        a = jnp.concatenate([clip * vis_c[:, None, None],
+                             _row_chunk(d, draw.tri_rest, k, n)], -1)
+    else:
+        vrec = _band_vertex_records(draw, consts.opaque_visibility,
+                                    consts.view_proj, scene.mat_transform,
+                                    comm, d)
+        chunk = _row_chunk(d, draw.indices.reshape(-1, 3), k, n)
+        a = vrec[chunk]  # (k, 3, 16) — the sharded gather
     valid0 = (d * k + jnp.arange(k, dtype=jnp.int32)) < T
     a2, valid = clipping.clip_near(a, valid0)  # (2k, ...): k mains+k extras
     # per-triangle screen setup on the chunk (sharded too — replicated
@@ -265,7 +281,10 @@ def _band_shadow_tri_world(scene: fr.DeviceScene, visibility,
     runs on a 1/n_dev vertex range per device (one all_gather reassembles
     the (V, 4) table), then the 3-row-per-triangle gather is sharded and
     all_gathered. Bit-identical to fr.shadow_tri_world."""
-    if comm.n_dev == 1:
+    if comm.n_dev == 1 or scene.shadow.tri_posw_h is not None:
+        # statics: the world transform + corner gather are precomputed,
+        # so per frame only the vis multiply remains (~0.3 ms dense VPU)
+        # — cheaper replicated than paying two all_gathers to shard it.
         return fr.shadow_tri_world(scene.shadow, visibility)
     draw = scene.shadow
     n = comm.n_dev

@@ -62,6 +62,18 @@ class DeviceDraw:
     worlds: jnp.ndarray  # (D, 4, 4)
     tex_transforms: jnp.ndarray  # (D, 4, 4)
     material_indices: jnp.ndarray  # (D,) int32
+    # Precomputed static per-corner tables (attach_draw_statics). worlds /
+    # tex_transforms / mat_transform never change after scene build (only
+    # mat_pair, visibility and the camera do — app/renderer.py), so the
+    # world-space transforms AND the 3-row-per-triangle vertex gather are
+    # frame-constant; precomputing them removes ~600k narrow gather rows
+    # per frame (vertex stage 13.1 -> 2.7 ms, shadow 6.2 -> 2.8 ms
+    # measured, experiments/static_geom_probe.py — bit-exact: rowmat is
+    # per-row so it commutes with the corner gather, and a triangle's 3
+    # corners share one instance so the vis multiply commutes too).
+    tri_posw_h: jnp.ndarray = None  # (T, 3, 4) world pos, homogeneous
+    tri_instance: jnp.ndarray = None  # (T,) int32 instance per triangle
+    tri_rest: jnp.ndarray = None  # (T, 3, 12) [posW3|nrm3|tan3|uv2|mat1]
 
     def tree_flatten(self):
         return tuple(getattr(self, f.name)
@@ -221,6 +233,65 @@ def vertex_stage(draw: DeviceDraw, visibility: jnp.ndarray,
     return pos_w, nrm_w, tan_w, uv, clip
 
 
+def draw_with_statics(draw: DeviceDraw,
+                      mat_transform: jnp.ndarray = None) -> DeviceDraw:
+    """Precompute the frame-constant per-corner tables (see the DeviceDraw
+    field comment). mat_transform=None computes only the world-position
+    table (enough for shadow casting); passing it also builds tri_rest
+    for the main-layer record path."""
+    W = draw.worlds[draw.vertex_instance]
+    ph = jnp.concatenate(
+        [draw.positions, jnp.ones_like(draw.positions[..., :1])], axis=-1)
+    pos_w4 = shading.rowmat(ph, W)  # (V, 4) — w column kept (shadow path)
+    tri_idx = draw.indices.reshape(-1, 3)
+    rest = None
+    if mat_transform is not None:
+        nrm_w = shading.rowmat(draw.normals, W[:, :3, :3])
+        tan_w = shading.rowmat(draw.tangents, W[:, :3, :3])
+        uvh = jnp.concatenate(
+            [draw.uvs, jnp.zeros_like(draw.uvs[..., :1]),
+             jnp.ones_like(draw.uvs[..., :1])], axis=-1)
+        T = draw.tex_transforms[draw.vertex_instance]
+        M = mat_transform[draw.material_indices[draw.vertex_instance]]
+        uv = shading.rowmat(shading.rowmat(uvh, T), M)[:, :2]
+        mat = draw.material_indices[draw.vertex_instance].astype(jnp.float32)
+        rest = jnp.concatenate(
+            [pos_w4[:, :3], nrm_w, tan_w, uv, mat[:, None]], -1)[tri_idx]
+    return dataclasses.replace(
+        draw, tri_posw_h=pos_w4[tri_idx],
+        tri_instance=draw.vertex_instance[tri_idx[:, 0]], tri_rest=rest)
+
+
+def attach_draw_statics(scene: "DeviceScene") -> "DeviceScene":
+    """Fill every draw's static corner tables (scene build time)."""
+    return dataclasses.replace(
+        scene,
+        opaque=draw_with_statics(scene.opaque, scene.mat_transform),
+        shadow=draw_with_statics(scene.shadow),
+        alpha=(draw_with_statics(scene.alpha, scene.mat_transform)
+               if scene.alpha is not None else None))
+
+
+def tri_attrs(draw: DeviceDraw, visibility: jnp.ndarray,
+              view_proj: jnp.ndarray, mat_transform: jnp.ndarray):
+    """Per-triangle vertex records (T, 3, 16) for one main-layer draw.
+
+    Fast path (statics attached): a dense (T,3,4)@(4,4) clip FMA + one
+    per-triangle vis gather from the tiny instance table + a concat —
+    bit-identical to the legacy per-vertex pipeline (see
+    draw_with_statics) at ~1/5 the cost."""
+    if draw.tri_rest is not None:
+        poswh = jnp.concatenate(
+            [draw.tri_posw_h[..., :3],
+             jnp.ones_like(draw.tri_posw_h[..., :1])], -1)
+        clip = shading.rowmat(poswh, view_proj)
+        clip = clip * visibility[draw.tri_instance][:, None, None]
+        return jnp.concatenate([clip, draw.tri_rest], -1)
+    pw, nw, tw, uv, cl = vertex_stage(draw, visibility, view_proj,
+                                      mat_transform)
+    return build_tri_attrs(draw, pw, nw, tw, uv, cl)
+
+
 def shadow_clip(draw: DeviceDraw, visibility: jnp.ndarray,
                 cascade_vp: jnp.ndarray):
     """World positions of shadow casters projected by one cascade VP."""
@@ -238,6 +309,11 @@ def shadow_tri_world(draw: DeviceDraw, visibility: jnp.ndarray):
     vertex->triangle gather (the expensive parts — 3 gather rows per
     triangle) run ONCE; each cascade then only pays a tiny dense
     (T, 3, 4) @ (4, 4) projection."""
+    if draw.tri_posw_h is not None:
+        # statics: the world transform + corner gather are precomputed;
+        # per frame only the vis multiply remains (6.2 -> 2.8 ms).
+        return (draw.tri_posw_h
+                * visibility[draw.tri_instance][:, None, None])
     W = draw.worlds[draw.vertex_instance]
     ph = jnp.concatenate(
         [draw.positions, jnp.ones_like(draw.positions[..., :1])], axis=-1)
@@ -677,10 +753,8 @@ def main_view_tris(scene: DeviceScene, consts: FrameConstants,
                    cfg: RenderConfig):
     """Vertex stage + near clip + screen setup for the main view (the
     shared front half of render_frame and the capacity probes)."""
-    pos_w, nrm_w, tan_w, uv, clip = vertex_stage(
-        scene.opaque, consts.opaque_visibility, consts.view_proj,
-        scene.mat_transform)
-    tri_attr = build_tri_attrs(scene.opaque, pos_w, nrm_w, tan_w, uv, clip)
+    tri_attr = tri_attrs(scene.opaque, consts.opaque_visibility,
+                         consts.view_proj, scene.mat_transform)
     tri_attr, tri_valid = clipping.clip_near(
         tri_attr, jnp.ones(tri_attr.shape[0], bool))
     tris = rz.setup_tri_verts(tri_attr[..., :4], tri_valid,
@@ -697,10 +771,8 @@ def alpha_view_tris(scene: DeviceScene, consts: FrameConstants,
                     cfg: RenderConfig):
     """Vertex stage + near clip for the AlphaTested layer (same pipeline
     as main_view_tris, over scene.alpha)."""
-    pos_w, nrm_w, tan_w, uv, clip = vertex_stage(
-        scene.alpha, consts.alpha_visibility, consts.view_proj,
-        scene.mat_transform)
-    tri_attr = build_tri_attrs(scene.alpha, pos_w, nrm_w, tan_w, uv, clip)
+    tri_attr = tri_attrs(scene.alpha, consts.alpha_visibility,
+                         consts.view_proj, scene.mat_transform)
     tri_attr, tri_valid = clipping.clip_near(
         tri_attr, jnp.ones(tri_attr.shape[0], bool))
     tris = rz.setup_tri_verts(tri_attr[..., :4], tri_valid,
@@ -836,6 +908,11 @@ def alpha_shadow_geom(scene: DeviceScene, consts: FrameConstants):
     transform chain as vertex_stage) gathered to triangles."""
     draw = scene.alpha
     tri_world = shadow_tri_world(draw, consts.alpha_visibility)
+    if draw.tri_rest is not None:
+        # statics: uv (tri_rest[..., 9:11]) and material ids are
+        # frame-constant — reuse the precomputed corner tables.
+        return (tri_world, draw.tri_rest[..., 9:11],
+                draw.tri_rest[:, 0, 11].astype(jnp.int32))
     uvh = jnp.concatenate(
         [draw.uvs, jnp.zeros_like(draw.uvs[..., :1]),
          jnp.ones_like(draw.uvs[..., :1])], axis=-1)

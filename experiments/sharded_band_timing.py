@@ -108,11 +108,10 @@ def main():
         bytes_full = C * S * S * (2 if packed else 4)
         bytes_full += band_h * n * W * 8  # interleaved depth + tid buffer
         # triangle-sharded geometry reassembly: clipped tri_attr (2T x 3
-        # x 16 f32; screen setup is recomputed locally from it) + shadow
-        # tri_world (T_s x 3 x 4)
+        # x 16 f32). Shadow tri_world is no longer exchanged (statics
+        # made it a replicated vis multiply — parallel/sharded.py).
         T_main = r.device_scene.opaque.indices.shape[0] // 3
-        T_shadow = r.device_scene.shadow.indices.shape[0] // 3
-        bytes_full += 2 * T_main * 3 * 16 * 4 + T_shadow * 12 * 4
+        bytes_full += 2 * T_main * 3 * 16 * 4
         if cfg.ssao_enabled:
             hw = (H // cfg.ssao_scale) * (W // cfg.ssao_scale)
             bytes_full += hw * 4 * (1 + 1 + 3)  # depth + access + normals

@@ -188,6 +188,56 @@ def main():
 
             rep["sub_superwindow_u16"] = timed(swin_fn, shadow_maps)
 
+            # ---- shadow_band internals (Pallas path) ----
+            if cfg_n.use_pallas and cfg_n.shadows_enabled:
+                S = cfg_n.shadow_map_size
+                C = cfg_n.num_cascades
+                scap = sharded._shadow_band_cap(cfg_n)
+
+                def ssetup_fn(s, c):
+                    return sharded._band_shadow_atlas_tris(
+                        s, c, cfg_n, comm, comm.index())
+
+                rep["sub_shadow_setup_sharded"] = timed(ssetup_fn, scene,
+                                                        consts)
+                stris, sxrange = jax.jit(ssetup_fn)(scene, consts)
+
+                def sbin_fn(tr):
+                    return rz.bin_triangles(tr, C * S, S, scap,
+                                            tile_h=fr.SHADOW_TILE_H,
+                                            tile_w=rp.TILE_W,
+                                            row_stride=(n, d))
+
+                rep["sub_shadow_bin"] = timed(sbin_fn, stris)
+
+                def sraster_fn(tr):
+                    return rp.rasterize_pallas(
+                        tr, C * S, S, scap, tile_h=fr.SHADOW_TILE_H,
+                        with_ids=False, interpret=cfg_n.pallas_interpret,
+                        xrange=sxrange, tiles_per_prog=32,
+                        row_stride=(n, d))
+
+                rep["sub_shadow_bin_raster"] = timed(sraster_fn, stris)
+                sdepth, _ = jax.jit(sraster_fn)(stris)
+
+                def sexch_fn(depth):
+                    w = C * S
+                    if packed:
+                        depth = shadows.pack_depth_rows_u16(depth)
+                        w = C * S // 2
+                    g = comm.all_gather(depth)
+                    nty_s = -(-S // fr.SHADOW_TILE_H)
+                    rpd_s = -(-nty_s // n)
+                    full = g.reshape(n, rpd_s, fr.SHADOW_TILE_H,
+                                     w).transpose(1, 0, 2, 3).reshape(
+                                         n * rpd_s * fr.SHADOW_TILE_H,
+                                         w)[:S]
+                    cw = w // C
+                    return jnp.stack(
+                        [full[:, c * cw:(c + 1) * cw] for c in range(C)])
+
+                rep["sub_shadow_pack_exchange"] = timed(sexch_fn, sdepth)
+
         cap = sharded._main_band_cap(cfg_n)
 
         def raster_fn(tr):

@@ -1,6 +1,7 @@
-"""DDS texture loading: legacy + DX10 headers, BC1/BC2/BC3 block decode,
-RGBA masks, mip chains, cubemaps, texture arrays — plus BMP frames for the
-animated textures.
+"""DDS texture loading: legacy + DX10 headers, BC1-BC5 block decode,
+mask-driven uncompressed formats at 8/16/24/32 bpp (RGBA8/BGRA8, R5G6B5,
+A1R5G5B5, A4R4G4B4, R8G8B8, L8, A8), mip chains, cubemaps, texture
+arrays — plus BMP frames for the animated textures.
 
 Re-implements the capability of the reference's DDSTextureLoader
 (/root/reference/Common/DDSTextureLoader.cpp: header parse :147, DX10
@@ -137,6 +138,47 @@ def _decode_bc2_numpy(data: bytes, width: int, height: int) -> np.ndarray:
     return np.clip(img + 0.5, 0, 255).astype(np.uint8)
 
 
+def _decode_bc_alpha_block(raw8: np.ndarray) -> np.ndarray:
+    """Decode the shared BC3/BC4/BC5 interpolated single-channel block.
+
+    ``raw8`` is (N, 8) uint8: 2 endpoint bytes + 6 bytes of 3-bit indices.
+    Returns (N, 16) float32 values in [0, 255]. This is the 8-byte block
+    the reference GPU decodes natively for BC3 alpha / BC4 red / BC5 red
+    and green (DDSTextureLoader.cpp maps ATI1/ATI2 + DX10 BC4/BC5 ids at
+    :585-607 and never decodes — the TPU build decodes at load time).
+    """
+    n = raw8.shape[0]
+    a0 = raw8[:, 0].astype(np.float32)
+    a1 = raw8[:, 1].astype(np.float32)
+    abits = np.zeros(n, dtype=np.uint64)
+    for i in range(6):
+        abits |= raw8[:, 2 + i].astype(np.uint64) << np.uint64(8 * i)
+    shifts = (np.arange(16, dtype=np.uint64) * np.uint64(3))[None, :]
+    aidx = ((abits[:, None] >> shifts) & np.uint64(7)).astype(np.int64)  # (N,16)
+    gt = (a0 > a1)[:, None]
+    # palettes for the two modes
+    pal_gt = np.empty((n, 8), dtype=np.float32)
+    pal_gt[:, 0], pal_gt[:, 1] = a0, a1
+    for i in range(1, 7):
+        pal_gt[:, i + 1] = ((7 - i) * a0 + i * a1) / 7.0
+    pal_le = np.empty((n, 8), dtype=np.float32)
+    pal_le[:, 0], pal_le[:, 1] = a0, a1
+    for i in range(1, 5):
+        pal_le[:, i + 1] = ((5 - i) * a0 + i * a1) / 5.0
+    pal_le[:, 6] = 0.0
+    pal_le[:, 7] = 255.0
+    pal = np.where(gt, pal_gt, pal_le)
+    return np.take_along_axis(pal, aidx, axis=1)  # (N, 16)
+
+
+def _blocks_to_image(texels: np.ndarray, bw: int, bh: int,
+                     width: int, height: int) -> np.ndarray:
+    """(N, 16, 4) float32 per-block texels -> (H, W, 4) uint8 image."""
+    img = texels.reshape(bh, bw, 4, 4, 4).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(bh * 4, bw * 4, 4)[:height, :width]
+    return np.clip(img + 0.5, 0, 255).astype(np.uint8)
+
+
 def decode_bc3(data: bytes, width: int, height: int) -> np.ndarray:
     """DXT5: 16-byte blocks = 8-byte interpolated alpha + BC1-style color."""
     from .. import native
@@ -151,28 +193,7 @@ def _decode_bc3_numpy(data: bytes, width: int, height: int) -> np.ndarray:
     bw, bh = (width + 3) // 4, (height + 3) // 4
     n = bw * bh
     raw = np.frombuffer(data, dtype=np.uint8, count=n * 16).reshape(n, 16)
-    a0 = raw[:, 0].astype(np.float32)
-    a1 = raw[:, 1].astype(np.float32)
-    abits = np.zeros(n, dtype=np.uint64)
-    for i in range(6):
-        abits |= raw[:, 2 + i].astype(np.uint64) << np.uint64(8 * i)
-    shifts = (np.arange(16, dtype=np.uint64) * np.uint64(3))[None, :]
-    aidx = ((abits[:, None] >> shifts) & np.uint64(7)).astype(np.int64)  # (N,16)
-    gt = (a0 > a1)[:, None]
-    # palettes for the two alpha modes
-    k = np.arange(8, dtype=np.float32)
-    pal_gt = np.empty((n, 8), dtype=np.float32)
-    pal_gt[:, 0], pal_gt[:, 1] = a0, a1
-    for i in range(1, 7):
-        pal_gt[:, i + 1] = ((7 - i) * a0 + i * a1) / 7.0
-    pal_le = np.empty((n, 8), dtype=np.float32)
-    pal_le[:, 0], pal_le[:, 1] = a0, a1
-    for i in range(1, 5):
-        pal_le[:, i + 1] = ((5 - i) * a0 + i * a1) / 5.0
-    pal_le[:, 6] = 0.0
-    pal_le[:, 7] = 255.0
-    pal = np.where(gt, pal_gt, pal_le)
-    alpha = np.take_along_axis(pal, aidx, axis=1)  # (N, 16)
+    alpha = _decode_bc_alpha_block(raw[:, :8])  # (N, 16)
 
     color = raw[:, 8:].copy().view("<u2").reshape(n, 4)
     c0, c1 = color[:, 0], color[:, 1]
@@ -184,22 +205,59 @@ def _decode_bc3_numpy(data: bytes, width: int, height: int) -> np.ndarray:
     cidx = ((bits[:, None] >> cshifts) & 0x3).astype(np.int64)
     rgb = np.take_along_axis(palette, cidx[..., None], axis=1)  # (N, 16, 3)
     texels = np.concatenate([rgb, alpha[..., None]], axis=-1)
-    img = texels.reshape(bh, bw, 4, 4, 4).transpose(0, 2, 1, 3, 4)
-    img = img.reshape(bh * 4, bw * 4, 4)[:height, :width]
-    return np.clip(img + 0.5, 0, 255).astype(np.uint8)
+    return _blocks_to_image(texels, bw, bh, width, height)
+
+
+def decode_bc4(data: bytes, width: int, height: int) -> np.ndarray:
+    """BC4 (ATI1): 8-byte single-channel blocks. Returns (H, W, 4) uint8
+    with D3D's BC4_UNORM sampling semantics — (r, 0, 0, 1)
+    (DDSTextureLoader.cpp:585 'ATI1' -> DXGI_FORMAT_BC4_UNORM)."""
+    bw, bh = (width + 3) // 4, (height + 3) // 4
+    n = bw * bh
+    raw = np.frombuffer(data, dtype=np.uint8, count=n * 8).reshape(n, 8)
+    red = _decode_bc_alpha_block(raw)  # (N, 16)
+    texels = np.zeros((n, 16, 4), dtype=np.float32)
+    texels[..., 0] = red
+    texels[..., 3] = 255.0
+    return _blocks_to_image(texels, bw, bh, width, height)
+
+
+def decode_bc5(data: bytes, width: int, height: int) -> np.ndarray:
+    """BC5 (ATI2): 16-byte two-channel blocks (red block + green block).
+    Returns (H, W, 4) uint8 with BC5_UNORM sampling semantics —
+    (r, g, 0, 1) (DDSTextureLoader.cpp:590 'ATI2' -> BC5_UNORM)."""
+    bw, bh = (width + 3) // 4, (height + 3) // 4
+    n = bw * bh
+    raw = np.frombuffer(data, dtype=np.uint8, count=n * 16).reshape(n, 16)
+    red = _decode_bc_alpha_block(raw[:, :8])
+    green = _decode_bc_alpha_block(raw[:, 8:])
+    texels = np.zeros((n, 16, 4), dtype=np.float32)
+    texels[..., 0] = red
+    texels[..., 1] = green
+    texels[..., 3] = 255.0
+    return _blocks_to_image(texels, bw, bh, width, height)
 
 
 def _decode_uncompressed(data: bytes, width: int, height: int, pf) -> np.ndarray:
+    """Mask-driven uncompressed decode at 8/16/24/32 bpp — the numpy
+    equivalent of the reference's legacy-mask table (GetDXGIFormat,
+    DDSTextureLoader.cpp:557-700: A8R8G8B8/X8R8G8B8/R5G6B5/A1R5G5B5/
+    A4R4G4B4/R8G8B8/L8/...). Missing masks read as 255 (alpha) / the
+    luminance replication is handled by the caller via the mask values."""
     bpp = pf["rgb_bit_count"]
-    assert bpp == 32, f"unsupported uncompressed bpp {bpp}"
-    raw = np.frombuffer(data, dtype=np.uint8, count=width * height * 4)
-    raw = raw.reshape(height, width, 4)
-    out = np.empty_like(raw)
+    assert bpp in (8, 16, 24, 32), f"unsupported uncompressed bpp {bpp}"
+    nbytes = bpp // 8
+    raw = np.frombuffer(data, dtype=np.uint8, count=width * height * nbytes)
+    raw = raw.reshape(height, width, nbytes).astype(np.uint32)
+    # compose little-endian pixel words of any byte width
+    u32 = np.zeros((height, width), dtype=np.uint32)
+    for b in range(nbytes):
+        u32 |= raw[..., b] << np.uint32(8 * b)
+    out = np.empty((height, width, 4), dtype=np.uint8)
     masks = [pf["r_mask"], pf["g_mask"], pf["b_mask"], pf["a_mask"]]
-    u32 = raw.view("<u4")[..., 0]
     for ch, mask in enumerate(masks):
         if mask == 0:
-            out[..., ch] = 255
+            out[..., ch] = 255 if ch == 3 else 0
             continue
         shift = (mask & -mask).bit_length() - 1
         width_bits = int(mask >> shift).bit_length()
@@ -215,9 +273,9 @@ def _mip_dims(w, h, level):
 
 
 def _level_bytes(w, h, fourcc, bpp):
-    if fourcc == b"DXT1":
+    if fourcc in (b"DXT1", b"ATI1", b"BC4U"):
         return ((w + 3) // 4) * ((h + 3) // 4) * 8
-    if fourcc in (b"DXT2", b"DXT3", b"DXT4", b"DXT5"):
+    if fourcc in (b"DXT2", b"DXT3", b"DXT4", b"DXT5", b"ATI2", b"BC5U"):
         return ((w + 3) // 4) * ((h + 3) // 4) * 16
     return w * h * (bpp // 8)
 
@@ -229,14 +287,22 @@ _DXGI_TO_FOURCC = {
     71: b"DXT1", 72: b"DXT1",           # BC1_UNORM(_SRGB)
     74: b"DXT3", 75: b"DXT3",           # BC2_UNORM(_SRGB)
     77: b"DXT5", 78: b"DXT5",           # BC3_UNORM(_SRGB)
+    80: b"ATI1",                        # BC4_UNORM
+    83: b"ATI2",                        # BC5_UNORM
 }
 _DXGI_RGBA_MASKS = {
-    # dxgi id -> (r, g, b, a) masks for the uncompressed 32-bpp path
-    28: (0xFF, 0xFF00, 0xFF0000, 0xFF000000),        # R8G8B8A8_UNORM
-    29: (0xFF, 0xFF00, 0xFF0000, 0xFF000000),        # R8G8B8A8_UNORM_SRGB
-    87: (0xFF0000, 0xFF00, 0xFF, 0xFF000000),        # B8G8R8A8_UNORM
-    91: (0xFF0000, 0xFF00, 0xFF, 0xFF000000),        # B8G8R8A8_UNORM_SRGB
-    88: (0xFF0000, 0xFF00, 0xFF, 0),                 # B8G8R8X8_UNORM
+    # dxgi id -> (bpp, r, g, b, a masks) for the uncompressed path
+    # (the inverse of GetDXGIFormat's mask table, DDSTextureLoader.cpp:557)
+    28: (32, 0xFF, 0xFF00, 0xFF0000, 0xFF000000),    # R8G8B8A8_UNORM
+    29: (32, 0xFF, 0xFF00, 0xFF0000, 0xFF000000),    # R8G8B8A8_UNORM_SRGB
+    87: (32, 0xFF0000, 0xFF00, 0xFF, 0xFF000000),    # B8G8R8A8_UNORM
+    91: (32, 0xFF0000, 0xFF00, 0xFF, 0xFF000000),    # B8G8R8A8_UNORM_SRGB
+    88: (32, 0xFF0000, 0xFF00, 0xFF, 0),             # B8G8R8X8_UNORM
+    85: (16, 0xF800, 0x07E0, 0x001F, 0),             # B5G6R5_UNORM
+    86: (16, 0x7C00, 0x03E0, 0x001F, 0x8000),        # B5G5R5A1_UNORM
+    115: (16, 0x0F00, 0x00F0, 0x000F, 0xF000),       # B4G4R4A4_UNORM
+    61: (8, 0xFF, 0, 0, 0),                          # R8_UNORM (legacy L8)
+    65: (8, 0, 0, 0, 0xFF),                          # A8_UNORM
 }
 _DX10_MISC_TEXTURECUBE = 0x4  # D3D11_RESOURCE_MISC_TEXTURECUBE
 
@@ -272,10 +338,10 @@ def load_dds(path: str) -> DDSTexture:
             fourcc = _DXGI_TO_FOURCC[dxgi]
             pf_flags |= DDPF_FOURCC
         elif dxgi in _DXGI_RGBA_MASKS:
-            r_mask, g_mask, b_mask, a_mask = _DXGI_RGBA_MASKS[dxgi]
-            rgb_bit_count = 32
-            pf = dict(rgb_bit_count=32, r_mask=r_mask, g_mask=g_mask,
-                      b_mask=b_mask, a_mask=a_mask)
+            rgb_bit_count, r_mask, g_mask, b_mask, a_mask = \
+                _DXGI_RGBA_MASKS[dxgi]
+            pf = dict(rgb_bit_count=rgb_bit_count, r_mask=r_mask,
+                      g_mask=g_mask, b_mask=b_mask, a_mask=a_mask)
             pf_flags &= ~DDPF_FOURCC
         else:
             raise NotImplementedError(f"{path}: DXGI format {dxgi}")
@@ -295,10 +361,14 @@ def load_dds(path: str) -> DDSTexture:
             pos += nbytes
             if compressed and fourcc == b"DXT1":
                 img = decode_bc1(chunk, w, h)
-            elif compressed and fourcc == b"DXT3":
+            elif compressed and fourcc in (b"DXT2", b"DXT3"):
                 img = decode_bc2(chunk, w, h)
-            elif compressed and fourcc == b"DXT5":
+            elif compressed and fourcc in (b"DXT4", b"DXT5"):
                 img = decode_bc3(chunk, w, h)
+            elif compressed and fourcc in (b"ATI1", b"BC4U"):
+                img = decode_bc4(chunk, w, h)
+            elif compressed and fourcc in (b"ATI2", b"BC5U"):
+                img = decode_bc5(chunk, w, h)
             elif compressed:
                 raise NotImplementedError(f"fourCC {fourcc!r}")
             else:

@@ -137,13 +137,14 @@ def test_dds_dx10_texture_array():
     assert not np.array_equal(t.layers[0][0], t.layers[1][0])
 
 
-def _dds_header(w, h, fourcc=None, dx10=None, bpp=32, caps2=0):
+def _dds_header(w, h, fourcc=None, dx10=None, bpp=32, caps2=0, masks=None):
     import struct
 
     pf_flags = 0x4 if fourcc else 0x40
     four = fourcc or b"\0\0\0\0"
-    masks = (0, 0, 0, 0) if fourcc else (
-        0xFF, 0xFF00, 0xFF0000, 0xFF000000)
+    if masks is None:
+        masks = (0, 0, 0, 0) if fourcc else (
+            0xFF, 0xFF00, 0xFF0000, 0xFF000000)
     head = struct.pack("<I7I", 0x20534444, 124, 0x1007, h, w, 0, 0, 1)
     head += b"\0" * 44
     head += struct.pack("<II4sIIIII", 32, pf_flags, four,
@@ -204,6 +205,85 @@ def test_dds_dx10_bc3():
     img = t.mips[0]
     assert (img[..., 1] == 255).all()
     assert (img[..., 3] == 200).all()
+
+
+def test_dds_bc4_decode(tmp_path):
+    """Synthetic one-block BC4 (ATI1) file: single-channel interpolated
+    block -> (r, 0, 0, 255) texels (DDSTextureLoader.cpp:585 ATI1 ->
+    BC4_UNORM)."""
+    import struct
+
+    from crychic_renderer_tpu.io.dds import load_dds
+
+    # r0=255 > r1=0: 8-entry interpolated palette; indices: texel i -> i%8
+    idx = [i % 8 for i in range(16)]
+    bits = 0
+    for i, v in enumerate(idx):
+        bits |= v << (3 * i)
+    block = struct.pack("<BB", 255, 0) + bits.to_bytes(6, "little")
+    p = tmp_path / "bc4.dds"
+    p.write_bytes(_dds_header(4, 4, fourcc=b"ATI1") + block)
+    img = load_dds(str(p)).mips[0]
+    assert img.shape == (4, 4, 4)
+    # palette: [255, 0, 6/7*255, 5/7*255, ...]
+    expect = np.array([255, 0] + [round((7 - k) * 255 / 7) for k in
+                                  range(1, 7)], dtype=np.uint8)
+    flat = img.reshape(16, 4)
+    np.testing.assert_array_equal(flat[:, 0], expect[np.array(idx)])
+    assert (flat[:, 1] == 0).all() and (flat[:, 2] == 0).all()
+    assert (flat[:, 3] == 255).all()
+
+
+def test_dds_bc5_dx10_decode(tmp_path):
+    """DX10-header BC5 (dxgi 83): red + green interpolated blocks ->
+    (r, g, 0, 255)."""
+    import struct
+
+    from crychic_renderer_tpu.io.dds import load_dds
+
+    # solid blocks: red all 100, green all 200 (a0=a1, idx 0)
+    rblock = struct.pack("<BB6s", 100, 100, b"\0" * 6)
+    gblock = struct.pack("<BB6s", 200, 200, b"\0" * 6)
+    p = tmp_path / "bc5.dds"
+    p.write_bytes(_dds_header(4, 4, fourcc=b"DX10",
+                              dx10=(83, 3, 0, 1, 0)) + rblock + gblock)
+    img = load_dds(str(p)).mips[0]
+    assert (img[..., 0] == 100).all()
+    assert (img[..., 1] == 200).all()
+    assert (img[..., 2] == 0).all() and (img[..., 3] == 255).all()
+
+
+def test_dds_16bpp_565(tmp_path):
+    """Legacy-mask R5G6B5 file (GetDXGIFormat's D3DFMT_R5G6B5 row,
+    DDSTextureLoader.cpp:557-700): 16-bpp mask decode."""
+    import struct
+
+    from crychic_renderer_tpu.io.dds import load_dds
+
+    # 16 texels of pure green in 565 (0x07E0)
+    payload = struct.pack("<H", 0x07E0) * 16
+    p = tmp_path / "rgb565.dds"
+    p.write_bytes(_dds_header(4, 4, bpp=16,
+                              masks=(0xF800, 0x07E0, 0x001F, 0)) + payload)
+    img = load_dds(str(p)).mips[0]
+    assert (img[..., 1] == 255).all()
+    assert (img[..., 0] == 0).all() and (img[..., 2] == 0).all()
+    assert (img[..., 3] == 255).all()  # no alpha mask -> opaque
+
+
+def test_dds_l8_dx10(tmp_path):
+    """DX10 R8_UNORM (dxgi 61, the loader's L8 mapping) reads as
+    (v, 0, 0, 255)."""
+    from crychic_renderer_tpu.io.dds import load_dds
+
+    payload = bytes(range(16))
+    p = tmp_path / "l8.dds"
+    p.write_bytes(_dds_header(4, 4, fourcc=b"DX10",
+                              dx10=(61, 3, 0, 1, 0)) + payload)
+    img = load_dds(str(p)).mips[0]
+    np.testing.assert_array_equal(img.reshape(16, 4)[:, 0],
+                                  np.arange(16, dtype=np.uint8))
+    assert (img[..., 3] == 255).all()
 
 
 def test_sky_cubemap_file_path(tmp_path):

@@ -1,4 +1,4 @@
-"""DDS texture loading: legacy + DX10 headers, BC1-BC5 block decode,
+"""DDS texture loading: legacy + DX10 headers, BC1-BC5 + BC7 block decode,
 mask-driven uncompressed formats at 8/16/24/32 bpp (RGBA8/BGRA8, R5G6B5,
 A1R5G5B5, A4R4G4B4, R8G8B8, L8, A8), mip chains, cubemaps, texture
 arrays — plus BMP frames for the animated textures.
@@ -275,7 +275,8 @@ def _mip_dims(w, h, level):
 def _level_bytes(w, h, fourcc, bpp):
     if fourcc in (b"DXT1", b"ATI1", b"BC4U"):
         return ((w + 3) // 4) * ((h + 3) // 4) * 8
-    if fourcc in (b"DXT2", b"DXT3", b"DXT4", b"DXT5", b"ATI2", b"BC5U"):
+    if fourcc in (b"DXT2", b"DXT3", b"DXT4", b"DXT5", b"ATI2", b"BC5U",
+                  b"BC7 "):
         return ((w + 3) // 4) * ((h + 3) // 4) * 16
     return w * h * (bpp // 8)
 
@@ -289,6 +290,7 @@ _DXGI_TO_FOURCC = {
     77: b"DXT5", 78: b"DXT5",           # BC3_UNORM(_SRGB)
     80: b"ATI1",                        # BC4_UNORM
     83: b"ATI2",                        # BC5_UNORM
+    98: b"BC7 ", 99: b"BC7 ",           # BC7_UNORM(_SRGB) — io/bc7.py
 }
 _DXGI_RGBA_MASKS = {
     # dxgi id -> (bpp, r, g, b, a masks) for the uncompressed path
@@ -369,6 +371,9 @@ def load_dds(path: str) -> DDSTexture:
                 img = decode_bc4(chunk, w, h)
             elif compressed and fourcc in (b"ATI2", b"BC5U"):
                 img = decode_bc5(chunk, w, h)
+            elif compressed and fourcc == b"BC7 ":
+                from .bc7 import decode_bc7
+                img = decode_bc7(chunk, w, h)
             elif compressed:
                 raise NotImplementedError(f"fourCC {fourcc!r}")
             else:

@@ -317,3 +317,72 @@ def test_sky_cubemap_file_path(tmp_path):
     up = jnp.asarray([[0.1, 1.0, 0.05]])
     col = np.asarray(sampling.sample_cubemap(packed, up))
     np.testing.assert_allclose(col[0, :3], [0, 0, 1], atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# BC7 (io/bc7.py) — the DX10 BC7_UNORM(_SRGB) path of the reference's
+# DDSTextureLoader format table (DDSTextureLoader.cpp:557-700).
+
+
+def _bc7_bits(fields):
+    """Pack (value, nbits) pairs LSB-first into a 16-byte BC7 block."""
+    val = pos = 0
+    for v, n in fields:
+        val |= (int(v) & ((1 << n) - 1)) << pos
+        pos += n
+    assert pos <= 128
+    return val.to_bytes(16, "little")
+
+
+def test_dds_bc7_mode5_constant(tmp_path):
+    """Hand-built mode-5 block: both endpoints = (R=127-ish) via 7-bit 0x40,
+    alpha endpoints 0x80 -> constant color, no Pillow needed."""
+    from crychic_renderer_tpu.io.dds import load_dds
+
+    # mode 5: 6 mode bits (000001), rot=0, RGB 7-bit endpoints, A 8-bit
+    fields = [(0b100000, 6), (0, 2)]
+    for _ch in range(3):
+        fields += [(0x40, 7), (0x40, 7)]       # ep0 = ep1 -> flat channel
+    fields += [(0x80, 8), (0x80, 8)]           # alpha endpoints
+    fields += [(0, 31), (0, 31)]               # color + alpha indices
+    block = _bc7_bits(fields)
+    p = tmp_path / "bc7.dds"
+    p.write_bytes(_dds_header(4, 4, fourcc=b"DX10",
+                              dx10=(98, 3, 0, 1, 0)) + block)
+    img = load_dds(str(p)).mips[0]
+    assert img.shape == (4, 4, 4)
+    # 7-bit 0x40 expands to (0x40 << 1) = 0x80 -> 1000 0001 = 0x81? no:
+    # (v << (8-7)) | (v >> (2*7-8)) = 0x80 | 0x01 = 0x81
+    assert (img[..., :3] == 0x81).all()
+    assert (img[..., 3] == 0x80).all()
+
+
+def test_dds_bc7_reserved_mode_is_transparent_black(tmp_path):
+    """All-zero mode bits = reserved block -> RGBA (0,0,0,0) per the D3D
+    spec (hardware decoders return zero in all channels)."""
+    from crychic_renderer_tpu.io.bc7 import decode_bc7
+
+    img = decode_bc7(b"\0" * 16, 4, 4)
+    assert (img == 0).all()
+
+
+def test_bc7_fuzz_vs_pillow_all_modes():
+    """Bit-exact fuzz of every BC7 mode against Pillow's independent BCn
+    C decoder (reserved-mode blocks excluded: Pillow emits alpha 255 where
+    the D3D spec says 0)."""
+    import io as _io
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from crychic_renderer_tpu.io.bc7 import decode_bc7
+
+    rng = np.random.default_rng(42)
+    nblk = 256
+    for mode in range(8):
+        raw = rng.integers(0, 256, size=(nblk, 16), dtype=np.uint8)
+        keep = (raw[:, 0] >> (mode + 1)) << (mode + 1) if mode < 7 else 0
+        raw[:, 0] = np.uint8(keep) | np.uint8(1 << mode)
+        data = raw.tobytes()
+        hdr = _dds_header(4, 4 * nblk, fourcc=b"DX10", dx10=(98, 3, 0, 1, 0))
+        ref = np.asarray(
+            PIL_Image.open(_io.BytesIO(hdr + data)).convert("RGBA"))
+        mine = decode_bc7(data, 4, 4 * nblk)
+        np.testing.assert_array_equal(mine, ref, err_msg=f"mode {mode}")

@@ -148,7 +148,11 @@ def load_sky_cubemap(path: str) -> np.ndarray:
     tex = load_dds(path)
     if not tex.is_cubemap:
         raise ValueError(f"{path} is not a cubemap")
-    return np.stack([f[0] for f in tex.faces]).astype(np.float32) / 255.0
+    faces = np.stack([f[0] for f in tex.faces])
+    if faces.dtype == np.uint8:
+        return faces.astype(np.float32) / 255.0
+    # HDR formats (BC6H) decode to float32 linear values — use directly.
+    return faces.astype(np.float32)
 
 
 def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,

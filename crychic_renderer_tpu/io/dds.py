@@ -276,7 +276,7 @@ def _level_bytes(w, h, fourcc, bpp):
     if fourcc in (b"DXT1", b"ATI1", b"BC4U"):
         return ((w + 3) // 4) * ((h + 3) // 4) * 8
     if fourcc in (b"DXT2", b"DXT3", b"DXT4", b"DXT5", b"ATI2", b"BC5U",
-                  b"BC7 "):
+                  b"BC7 ", b"BC6H", b"BC6S"):
         return ((w + 3) // 4) * ((h + 3) // 4) * 16
     return w * h * (bpp // 8)
 
@@ -290,6 +290,8 @@ _DXGI_TO_FOURCC = {
     77: b"DXT5", 78: b"DXT5",           # BC3_UNORM(_SRGB)
     80: b"ATI1",                        # BC4_UNORM
     83: b"ATI2",                        # BC5_UNORM
+    94: b"BC6H", 95: b"BC6H",           # BC6H_TYPELESS/UF16 — io/bc6h.py
+    96: b"BC6S",                        # BC6H_SF16 — io/bc6h.py
     98: b"BC7 ", 99: b"BC7 ",           # BC7_UNORM(_SRGB) — io/bc7.py
 }
 _DXGI_RGBA_MASKS = {
@@ -374,6 +376,13 @@ def load_dds(path: str) -> DDSTexture:
             elif compressed and fourcc == b"BC7 ":
                 from .bc7 import decode_bc7
                 img = decode_bc7(chunk, w, h)
+            elif compressed and fourcc in (b"BC6H", b"BC6S"):
+                # HDR half-float RGB: this is the one format whose mips
+                # are float32 RGBA (exact half values, alpha=1), not u8
+                from .bc6h import decode_bc6h
+                rgb = decode_bc6h(chunk, w, h, signed=fourcc == b"BC6S")
+                img = np.concatenate(
+                    [rgb, np.ones_like(rgb[..., :1])], axis=-1)
             elif compressed:
                 raise NotImplementedError(f"fourCC {fourcc!r}")
             else:

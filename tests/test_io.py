@@ -386,3 +386,126 @@ def test_bc7_fuzz_vs_pillow_all_modes():
             PIL_Image.open(_io.BytesIO(hdr + data)).convert("RGBA"))
         mine = decode_bc7(data, 4, 4 * nblk)
         np.testing.assert_array_equal(mine, ref, err_msg=f"mode {mode}")
+
+
+# ---------------------------------------------------------------------------
+# BC6H (io/bc6h.py) — the DX10 BC6H_UF16/SF16 path of the reference's
+# DDSTextureLoader format table (DDSTextureLoader.cpp:557-700). HDR: decodes
+# to float32. The layout of all 14 modes is verified per-bit against Pillow
+# in experiments/bc6h_layout_probe.py; the fuzz here re-checks every mode
+# under Pillow emulation (Pillow deviates from the D3D spec in two measured
+# ways: it skips the +32 interpolation rounding, and it omits the final
+# sign-extension after the SF16 transformed delta add).
+
+
+def _bc6h_block(mv, fields=None, d=0, idx_bits=0):
+    """Build one 16-byte BC6H block from the decoder's own layout table."""
+    from crychic_renderer_tpu.io.bc6h import _LAYOUTS, _MODE_INFO
+
+    bits = np.zeros(128, dtype=np.uint8)
+    ml = 2 if mv in (0, 1) else 5
+    for k in range(ml):
+        bits[k] = (mv >> k) & 1
+    for pos, (field, sig) in enumerate(_LAYOUTS[mv], start=ml):
+        bits[pos] = ((fields or {}).get(field, 0) >> sig) & 1
+    if _MODE_INFO[mv][3]:
+        for k in range(5):
+            bits[77 + k] = (d >> k) & 1
+        istart = 82
+    else:
+        istart = 65
+    if idx_bits:
+        bits[istart:] = 1
+    return np.packbits(bits, bitorder="little").tobytes()
+
+
+def test_dds_bc6h_constant_block(tmp_path):
+    """Mode-11 (one-region, untransformed 10-bit) flat block loads through
+    load_dds as float32 RGBA with the exact unquantized half values."""
+    from crychic_renderer_tpu.io.dds import load_dds
+
+    blk = _bc6h_block(3, {"rw": 512, "gw": 256, "bw": 128,
+                          "rx": 512, "gx": 256, "bx": 128})
+    p = tmp_path / "bc6h.dds"
+    p.write_bytes(_dds_header(4, 4, fourcc=b"DX10",
+                              dx10=(95, 3, 0, 1, 0)) + blk)
+    img = load_dds(str(p)).mips[0]
+    assert img.dtype == np.float32 and img.shape == (4, 4, 4)
+
+    def expect(raw):
+        unq = ((raw << 16) + 0x8000) >> 10
+        return np.uint16((unq * 31) >> 6).view(np.float16).astype(np.float32)
+
+    np.testing.assert_array_equal(img[..., 0], expect(512))
+    np.testing.assert_array_equal(img[..., 1], expect(256))
+    np.testing.assert_array_equal(img[..., 2], expect(128))
+    np.testing.assert_array_equal(img[..., 3], 1.0)
+
+
+def test_bc6h_reserved_mode_is_black():
+    """Reserved 5-bit mode ids (19/23/27/31) decode to zero per the D3D
+    spec (and per Pillow)."""
+    from crychic_renderer_tpu.io.bc6h import decode_bc6h
+
+    for mv in (19, 23, 27, 31):
+        img = decode_bc6h(bytes([mv & 0x1F] + [0xFF] * 15), 4, 4)
+        assert (img == 0).all()
+
+
+def test_bc6h_signed_spec_sign_extension():
+    """SF16 transformed wrap: base 0 + delta raw 256 (sign bit set, 9-bit
+    delta) is -256 per the D3D spec -> small NEGATIVE output. Pillow's
+    decoder omits the final sign extension (gets +max instead); the
+    shipped path must follow the spec, the emulation knob must follow
+    Pillow — both asserted."""
+    from crychic_renderer_tpu.io.bc6h import decode_bc6h
+
+    blk = _bc6h_block(7, {"rx": 256, "gx": 256, "bx": 256}, idx_bits=1)
+    spec = decode_bc6h(blk, 4, 4, signed=True)
+    emu = decode_bc6h(blk, 4, 4, signed=True, pillow_emulation=True)
+    # spec: sext((0 - 256) & 2047, 11) = -256 -> unq -8208 -> -(7951/2^20)
+    expected = -np.uint16(0x8000 | ((8208 * 31) >> 5)).view(
+        np.float16).astype(np.float32) * -1.0
+    flat = spec[..., 0].ravel()
+    np.testing.assert_array_equal(flat[1:], expected)  # texel 0 = anchor
+    assert (spec[..., 0] < 0).all()
+    assert (emu[..., 0].ravel()[1:] == 65504.0).all()  # clamped +max half
+
+
+def test_bc6h_fuzz_vs_pillow_all_modes():
+    """Every BC6H mode, UF16 + SF16, random endpoint fields biased into
+    the u8-visible range, exact u8 agreement with Pillow's independent
+    BCn decoder (under the two documented Pillow deviations)."""
+    import io as _io
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from crychic_renderer_tpu.io.bc6h import (_LAYOUTS, _MODE_INFO,
+                                              decode_bc6h)
+
+    rng = np.random.default_rng(7)
+    nblk = 96
+    for mv, (epb, _d, _t, _two) in _MODE_INFO.items():
+        for signed in (False, True):
+            blocks = []
+            for _ in range(nblk):
+                fields = {}
+                for f in set(f for f, _ in _LAYOUTS[mv]):
+                    width = 1 + max(s for g, s in _LAYOUTS[mv] if g == f)
+                    fields[f] = int(rng.integers(0, 1 << width))
+                if rng.random() < 0.5:
+                    sb = (30000 >> (16 - epb)) if epb < 15 else 29000
+                    for c in "rgb":
+                        fields[c + "w"] = max(
+                            0, sb + int(rng.integers(-64, 64)))
+                blocks.append(_bc6h_block(
+                    mv, fields, d=int(rng.integers(0, 32)),
+                    idx_bits=int(rng.integers(0, 2))))
+            data = b"".join(blocks)
+            hdr = _dds_header(4, 4 * nblk, fourcc=b"DX10",
+                              dx10=(96 if signed else 95, 3, 0, 1, 0))
+            ref = np.asarray(PIL_Image.open(_io.BytesIO(hdr + data)))
+            mine = decode_bc6h(data, 4, 4 * nblk, signed=signed,
+                               pillow_emulation=True)
+            mine_u8 = np.floor(np.clip(mine, 0.0, 1.0) * 255.0).astype(
+                np.uint8)
+            np.testing.assert_array_equal(
+                mine_u8, ref, err_msg=f"mode value {mv} signed={signed}")

@@ -290,6 +290,13 @@ class Renderer:
                 self.cfg.ssao_height, self.cfg.ssao_width)))
         if self._auto_capacity:
             self._autosize_capacity()
+        self.rebind_frame_fn()
+
+    def rebind_frame_fn(self):
+        """Re-jit the frame fn against the CURRENT self.cfg. Must be
+        called after any external mutation of self.cfg (the jit binds the
+        cfg at construction; a stale binding silently renders with the
+        old settings)."""
         self._frame_fn = jax.jit(
             functools.partial(fr.render_frame, cfg=self.cfg))
 

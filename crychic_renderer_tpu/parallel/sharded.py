@@ -294,7 +294,6 @@ def _band_shadow_tri_world(scene: fr.DeviceScene, visibility,
     vi_c = _row_chunk(d, draw.vertex_instance, kv, n)
     W = draw.worlds[vi_c]
     ph = jnp.concatenate([pos_c, jnp.ones_like(pos_c[..., :1])], axis=-1)
-    from ..ops import shading
 
     part = shading.rowmat(ph, W) * visibility[vi_c][:, None]
     pos_w = comm.all_gather(part).reshape(n * kv, 4)[:V]
@@ -324,7 +323,6 @@ def _band_shadow_atlas_tris(scene: fr.DeviceScene,
     T = tri_world.shape[0]
     k = -(-T // n)
     part = _row_chunk(d, tri_world, k, n)  # (k, 3, 4)
-    from ..ops import shading
 
     chunks = []
     for c in range(C):
@@ -398,7 +396,6 @@ def _band_shadow_maps(scene: fr.DeviceScene, consts: fr.FrameConstants,
     rpd = -(-nty // n_dev)
     tri_world = _band_shadow_tri_world(scene, consts.shadow_visibility,
                                        comm, d)
-    from ..ops import shading
 
     parts = []
     for c in range(C):
@@ -697,7 +694,6 @@ def band_requirements(scene: fr.DeviceScene, consts: fr.FrameConstants,
                 consts.cascade_view_projs, cfg)
             worst = worst_owner(s_tris, C * S, S, tile_h_s)
         else:
-            from ..ops import shading
 
             tri_world = fr.shadow_tri_world(scene.shadow,
                                             consts.shadow_visibility)

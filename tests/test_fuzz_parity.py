@@ -43,10 +43,14 @@ def renderer_pair():
                      lights=lights)
     r_pl = Renderer(scene, cfg, lights=lights)
     # Renderer downgrades use_pallas on CPU backends; interpret mode runs
-    # the kernel logic anywhere. Re-autosize at the kernel's 8-row tiles.
+    # the kernel logic anywhere. Re-autosize at the kernel's 8-row tiles,
+    # then REBUILD the jitted frame fn — __init__ already bound it with
+    # the downgraded cfg, so without this the fixture would silently
+    # compare XLA against XLA (found by review).
     r_pl.cfg = dataclasses.replace(r_pl.cfg, use_pallas=True,
                                    pallas_interpret=True)
     r_pl._autosize_capacity()
+    r_pl.rebind_frame_fn()
     return r_xla, r_pl
 
 

@@ -14,6 +14,29 @@ def test_dryrun_multichip_entry():
     ge.dryrun_multichip(n)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("n_dev", [16, 32])
+def test_dryrun_at_scaling_table_device_counts(n_dev):
+    """PERF.md's scaling table projects 16/32-chip frames; run the full
+    dryrun (XLA 1080-row + Pallas band + replica axis) at those counts.
+    Needs its own interpreter: the virtual device count is fixed at
+    backend init, so this spawns a subprocess with a larger mesh."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_dev}"
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c",
+         f"import __graft_entry__ as g; g.dryrun_multichip({n_dev})"],
+        env=env, capture_output=True, text=True, timeout=1500)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "pallas band ok" in out.stdout, out.stdout
+    assert "replica axis ok" in out.stdout, out.stdout
+
+
 def _small_scene_and_cfg(with_alpha=False, **cfg_overrides):
     from crychic_renderer_tpu.config import RenderConfig
     from crychic_renderer_tpu.app.renderer import Renderer

@@ -127,8 +127,20 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=4, choices=[1, 2, 3, 4, 5])
     ap.add_argument("--small", action="store_true")
-    ap.add_argument("--fast", action="store_true",
-                    help="performance preset: half-res shadow factor")
+    # interactivity defaults (VERDICT r3: the viewer at parity 1080p ran
+    # 4.5 fps on the TPU — pipelined correctly but not usable). The LIVE
+    # viewer defaults to the documented fast preset at 720p; renders,
+    # goldens, bench and `--parity/--res 1080p` keep full parity.
+    ap.add_argument("--fast", dest="fast", action="store_true",
+                    default=True,
+                    help="performance preset: half-res PCF factor, "
+                    "quarter-res SSAO, 2-probe aniso (viewer default)")
+    ap.add_argument("--parity", dest="fast", action="store_false",
+                    help="disable the fast preset (bench-parity image)")
+    ap.add_argument("--res", choices=["native", "1080p", "720p"],
+                    default="720p",
+                    help="viewer resolution (720p default for "
+                    "interactivity; 'native' keeps the config's size)")
     ap.add_argument("--script", type=str, default=None,
                     help="scripted key sequence (one key per frame; "
                     "disables tty input)")
@@ -158,6 +170,11 @@ def main(argv=None):
         # deltas for ~1.5x frame speed
         cfg = dataclasses.replace(cfg, fast_shadow_factor=True,
                                   ssao_scale=4, aniso_probes=2)
+    if args.res != "native":
+        h = 1080 if args.res == "1080p" else 720
+        w = h * 16 // 9
+        if (cfg.width, cfg.height) != (w, h):
+            cfg = dataclasses.replace(cfg, width=w, height=h)
     if args.small:
         cfg = dataclasses.replace(
             cfg, width=cfg.width // 4, height=cfg.height // 4,
@@ -229,7 +246,9 @@ def main(argv=None):
             if len(pending) >= DEPTH:
                 fetch_and_show(pending.popleft())
             if stats.tick() or (scripted is not None):
-                print(stats.caption(), flush=True)
+                preset = "fast" if args.fast else "parity"
+                print(f"{stats.caption()}   [{preset} "
+                      f"{r.cfg.width}x{r.cfg.height}]", flush=True)
             if args.max_frames and frames >= args.max_frames:
                 running = False
             if scripted is not None and not scripted:

@@ -63,6 +63,14 @@ class RenderConfig:
     # gathers, strictly less quantization than sampling the baked cubemap.
     # False = gather from DeviceScene.cubemap (file-loaded cubemaps).
     procedural_sky: bool = True
+    # Poisson PCF disk radius in texels. None = the radius the reference
+    # COMPILES to: `5 / width / 2.0f` (Common.hlsl:301) is an int/uint
+    # division, i.e. 0.0 — all 16 taps coincide, one bilinear comparison
+    # tap (ops.shadows.compiled_poisson_radius_uv; verified against the
+    # scalar HLSL transliteration in tests/test_hlsl_oracle.py). 2.5
+    # restores the soft disk the author evidently INTENDED (the float
+    # value of 5/width/2 texels) — an enhancement, not parity.
+    pcf_radius_texels: float = None
     # performance knobs (defaults keep reference parity):
     # compute the cascade PCF factor at half resolution + bilinear upsample
     fast_shadow_factor: bool = False

@@ -45,6 +45,23 @@ def nrand(uv):
     return jnp.abs(v - jnp.floor(v))
 
 
+def compiled_poisson_radius_uv(smap_size: int) -> float:
+    """The Poisson search radius AS COMPILED by the reference.
+
+    Common.hlsl:301 reads `float search_radius = 5 / width / 2.0f;` where
+    `width` is the uint filled by GetDimensions (:287). `5 / width` is an
+    int/uint division (HLSL arithmetic conversions promote the int literal
+    to uint), so it is 0 for every real map size — the author casts width
+    to float for `dx` two lines above (:288) but not here. The compiled
+    shader's 16 rotated-Poisson taps therefore all land on the receiver:
+    the reference's PCF is ONE bilinear comparison tap repeated 16 times.
+    Replicated for image parity (and asserted against the independent
+    transliteration in tests/test_hlsl_oracle.py); the intended 2.5-texel
+    soft disk remains available via RenderConfig.pcf_radius_texels.
+    """
+    return float(5 // smap_size) / 2.0
+
+
 def _cmp_sample_bilinear(shadow_maps, cascade, u, v, depth):
     """One SampleCmpLevelZero tap: bilinear blend of (depth <= texel) with
     black-border behavior outside [0,1]^2.
@@ -77,11 +94,15 @@ def _cmp_sample_bilinear(shadow_maps, cascade, u, v, depth):
             + c01 * (1 - fx) * fy + c11 * fx * fy)
 
 
-def poisson_pcf(shadow_maps, cascade, shadow_pos, smap_size: int):
+def poisson_pcf(shadow_maps, cascade, shadow_pos, smap_size: int,
+                soft_radius_texels: float = None):
     """CalcCascadeShadowFactorWithPoisson (Common.hlsl:263-316).
 
     shadow_pos: (..., 4) homogeneous position in shadow-texture space
     (world @ shadow_transform, pre-divide). cascade: (...,) int32.
+    soft_radius_texels: None replicates the COMPILED reference (radius 0,
+    see compiled_poisson_radius_uv); a value (e.g. 2.5, the intended
+    `5/width/2` had width been cast) spreads the disk.
     """
     inv_w = 1.0 / jnp.maximum(shadow_pos[..., 3], 1e-20)
     uvz = shadow_pos[..., :3] * inv_w[..., None]
@@ -89,7 +110,10 @@ def poisson_pcf(shadow_maps, cascade, shadow_pos, smap_size: int):
 
     theta = nrand(uvz[..., :2])
     c, s = jnp.cos(theta), jnp.sin(theta)
-    radius = 5.0 / smap_size / 2.0
+    if soft_radius_texels is None:
+        radius = compiled_poisson_radius_uv(smap_size)
+    else:
+        radius = soft_radius_texels / smap_size
 
     lit = jnp.zeros_like(u)
     for i in range(N_SAMPLE):
@@ -204,19 +228,27 @@ def _unpack_u16_window(w32):
         w32.shape[:-1] + (2 * w32.shape[-1],))
 
 
-def poisson_pcf_windowed(shadow_maps, cascade, shadow_pos, smap_size: int):
+def poisson_pcf_windowed(shadow_maps, cascade, shadow_pos, smap_size: int,
+                         soft_radius_texels: float = None):
     """Windowed formulation of the 16-tap rotated-Poisson PCF.
 
     ``shadow_maps`` may be (C, S, S) raw, (C, S/8, S/8, 256) f32
     pre-superwindowed, or (C, S/8, S/8, 128) uint32 u16-packed
     (pass smap_size = S either way).
 
-    Mathematically identical to `poisson_pcf`: the search radius is 2.5
-    texels (Common.hlsl:305), so every tap's bilinear footprint lies in an
-    8x8-texel window around the receiver. One sliced gather fetches the
-    window; the 16 taps' bilinear weights are accumulated into a single
-    8x8 mask and combined with the window's depth comparisons in one fused
-    elementwise reduction — O(1) gathers per pixel instead of 64.
+    Mathematically identical to `poisson_pcf` in both radius modes:
+
+    - soft_radius_texels=None (default) replicates the COMPILED reference
+      radius of 0 (Common.hlsl:301 int/uint division — see
+      compiled_poisson_radius_uv): all 16 taps coincide at the receiver,
+      so the filter is ONE bilinear comparison tap, evaluated from the
+      same window gather with a single tent (the ~15x cheaper path).
+    - soft_radius_texels=2.5 evaluates the intended rotated disk: every
+      tap's bilinear footprint lies in an 8x8-texel window around the
+      receiver. One sliced gather fetches the window; the 16 taps'
+      bilinear weights are accumulated into a mask and combined with the
+      window's depth comparisons in one fused elementwise reduction —
+      O(1) gathers per pixel instead of 64.
 
     Border approximation: the window origin clamps to the map, so taps that
     would read the black border instead read edge texels. Cascade fitting
@@ -278,29 +310,43 @@ def poisson_pcf_windowed(shadow_maps, cascade, shadow_pos, smap_size: int):
         ext = jnp.where((oy == v)[..., None], win_p[..., 8 * v:8 * v + 64],
                         ext)
     win8 = _unpack_u16_window(ext)       # (..., 128): 8 rows x 16 x
-    win16 = _unpack_u16_window(win_p)    # (..., 256): full window
     dq = depth[..., None] * 65535.0 - 0.5
     cmp8 = (dq <= win8).astype(jnp.float32)
-    cmp16 = (dq <= win16).astype(jnp.float32)
 
     m8 = np.arange(128)
     sy8 = jnp.asarray((m8 // 16).astype(np.float32))   # r in [0, 8)
     sx8 = jnp.asarray((m8 % 16).astype(np.float32))    # wx in [0, 16)
+
+    fx_base = cx - (qx0 * 8).astype(jnp.float32)  # superwindow-local
+    fy_base = cy - (qy0 * 8).astype(jnp.float32)
+    fy_rel = fy_base - oy.astype(jnp.float32)
+
+    if soft_radius_texels is None:
+        # Compiled-reference radius 0 (compiled_poisson_radius_uv): all 16
+        # taps coincide at the receiver, so percentLit/16 is ONE bilinear
+        # comparison tap — a single tent over the 8-row extraction (its
+        # 2x2 support sits at rows/cols 3-5 of the window). The rotation
+        # hash is computed by the shader but multiplies a zero radius, so
+        # it is dropped here; values are bit-identical.
+        wx1 = jnp.maximum(1.0 - jnp.abs(sx8 - fx_base[..., None]), 0.0)
+        wy1 = jnp.maximum(1.0 - jnp.abs(sy8 - fy_rel[..., None]), 0.0)
+        return (cmp8 * wy1 * wx1).sum(axis=-1)
+
+    assert soft_radius_texels <= 2.5, \
+        "window extraction bounds assume the disk radius <= 2.5 texels"
+    win16 = _unpack_u16_window(win_p)    # (..., 256): full window
+    cmp16 = (dq <= win16).astype(jnp.float32)
     m16 = np.arange(256)
     sy16 = jnp.asarray((m16 // 16).astype(np.float32))
     sx16 = jnp.asarray((m16 % 16).astype(np.float32))
 
     theta = nrand(uvz[..., :2])
     c, sn = jnp.cos(theta), jnp.sin(theta)
-    radius = 5.0 / smap_size / 2.0 * S  # tap offsets in texels (= 2.5)
+    radius = float(soft_radius_texels)  # tap offsets in texels
 
     # accumulate each tap's bilinear weights over its window; a bilinear
     # weight is the tent function relu(1 - |grid - tap|), which is
     # branchless (4 VPU ops per axis instead of two selects)
-    fx_base = cx - (qx0 * 8).astype(jnp.float32)  # superwindow-local
-    fy_base = cy - (qy0 * 8).astype(jnp.float32)
-    fy_rel = fy_base - oy.astype(jnp.float32)
-
     def tap_xy(i):
         pxd, pyd = POISSON_DISK[i]
         return ((pxd * c - pyd * sn) * radius,
@@ -324,19 +370,22 @@ def poisson_pcf_windowed(shadow_maps, cascade, shadow_pos, smap_size: int):
 
 
 def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
-                          smap_size: int, deferred_blend_quirk: bool):
+                          smap_size: int, deferred_blend_quirk: bool,
+                          soft_radius_texels: float = None):
     """Per-pixel cascade select + PCF + blend.
 
     shadow_maps: (4, S, S) depth; shadow_transforms: (4, 4, 4) row-vector
     world->uv/depth; pos_w: (..., 3); eye_pos: (3,).
     Forward path (Default.hlsl:124-149): blend only within 10 units of the
     cascade boundary. Deferred path quirk: always blend (see module doc).
-    Distance >= 100 -> no shadow (factor 1).
+    Distance >= 100 -> no shadow (factor 1). soft_radius_texels: None =
+    the compiled reference's zero Poisson radius (single comparison tap,
+    compiled_poisson_radius_uv); 2.5 = the intended soft disk.
     """
     radii = jnp.asarray(CASCADE_RADII)
     dist = jnp.sqrt(((eye_pos - pos_w) ** 2).sum(-1))
     # first cascade whose radius exceeds the distance; 4 = none
-    past = (dist[..., None] >= radii[None, None, :]).sum(-1).astype(jnp.int32)
+    past = (dist[..., None] >= radii).sum(-1).astype(jnp.int32)
     c = jnp.clip(past, 0, 3)
     no_shadow = past >= 4
 
@@ -351,7 +400,8 @@ def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
                          for ci in range(4)])  # (4, ..., 4)
 
     def shadow_pos_for(cascade_idx):
-        sel = (jnp.arange(4)[:, None, None, None]
+        # rank-generic one-hot select over the leading cascade axis
+        sel = (jnp.arange(4).reshape((4,) + (1,) * (cascade_idx.ndim + 1))
                == cascade_idx[None, ..., None]).astype(all_pos.dtype)
         return (all_pos * sel).sum(axis=0)
 
@@ -381,17 +431,18 @@ def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
         ce = jnp.where(even, c, jnp.minimum(c + 1, 2))  # dummy 2 at c=3
         co = jnp.where(even, c + 1, c)
         f_e = poisson_pcf_windowed(swin_e, ce >> 1, shadow_pos_for(ce),
-                                   smap_size)
+                                   smap_size, soft_radius_texels)
         f_o = poisson_pcf_windowed(swin_o, co >> 1, shadow_pos_for(co),
-                                   smap_size)
+                                   smap_size, soft_radius_texels)
         f_c = jnp.where(even, f_e, f_o)
         f_n = jnp.where(even, f_o, f_e)  # unused (blend False) when c == 3
     else:
         swin = swin_of(shadow_maps)
         c_next = jnp.minimum(c + 1, 3)
-        f_c = poisson_pcf_windowed(swin, c, shadow_pos_for(c), smap_size)
+        f_c = poisson_pcf_windowed(swin, c, shadow_pos_for(c), smap_size,
+                                   soft_radius_texels)
         f_n = poisson_pcf_windowed(swin, c_next, shadow_pos_for(c_next),
-                                   smap_size)
+                                   smap_size, soft_radius_texels)
 
     if deferred_blend_quirk:
         blend = c < 3

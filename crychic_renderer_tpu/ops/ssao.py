@@ -76,26 +76,11 @@ def ndc_depth_to_view(z_ndc, proj_22, proj_32):
     return proj_32 / (z_ndc - proj_22)
 
 
-def _sample_depth_border_white(depth_map, u, v):
-    """Point-ish depth fetch with opaque-white border (off-screen = 1.0).
-
-    The reference's depth sampler is linear, but depth maps are sampled at
-    matching resolution here; nearest keeps the comparison crisp.
-    """
-    H, W = depth_map.shape
-    x = jnp.floor(u * W).astype(jnp.int32)
-    y = jnp.floor(v * H).astype(jnp.int32)
-    inb = (x >= 0) & (x < W) & (y >= 0) & (y < H)
-    x = jnp.clip(x, 0, W - 1)
-    y = jnp.clip(y, 0, H - 1)
-    d = depth_map[y, x]
-    return jnp.where(inb, d, 1.0)
-
-
 def _quad_rows(depth_map):
     """(H, W) -> ((H*W, 4), W): each texel's 2x2 neighborhood as one row.
     Scalar (4-byte) gather rows cost ~2.3x more than 16-byte rows on TPU,
-    so the 14 occluder taps fetch quad rows and use lane 0."""
+    so the 14 occluder taps fetch quad rows and use all 4 lanes for the
+    bilinear blend."""
     f = depth_map
     fx = jnp.roll(f, -1, axis=1)
     fy = jnp.roll(f, -1, axis=0)
@@ -105,14 +90,40 @@ def _quad_rows(depth_map):
     return rows, depth_map.shape[1]
 
 
-def _tap_depth_border_white(rows, H, W, u, v):
-    """Point depth fetch from quad rows with opaque-white border."""
-    x = jnp.floor(u * W).astype(jnp.int32)
-    y = jnp.floor(v * H).astype(jnp.int32)
-    inb = (x >= 0) & (x < W) & (y >= 0) & (y < H)
-    idx = jnp.clip(y, 0, H - 1) * W + jnp.clip(x, 0, W - 1)
-    d = rows[idx][..., 0]
-    return jnp.where(inb, d, 1.0)
+def _pad_border_white(depth_map):
+    """(H, W) -> (H+2, W+2): one texel of opaque-white border on every
+    side. Quad rows built on the padded map make the bilinear tap's
+    border-white addressing free: any wrap of _quad_rows' roll past the
+    padded edge lands on another border texel (value 1.0)."""
+    return jnp.pad(depth_map, 1, constant_values=1.0)
+
+
+def _tap_depth_bilinear_white(rows, H, W, u, v):
+    """One gsamDepthMap tap (Ssao.hlsl:126,164 via CRYCHIC.cpp
+    BuildSsaoRootSignature s2: MIN_MAG_MIP_LINEAR, ADDRESS_BORDER,
+    OPAQUE_WHITE): bilinear depth with off-screen texels reading 1.0.
+
+    rows: quad rows of the PADDED map (_quad_rows(_pad_border_white(d)));
+    H, W: the UNPADDED map size; u, v in [0,1] texture space. One row
+    gather per tap.
+    """
+    x = u * W - 0.5
+    y = v * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    # padded-map quad at (x0+1, y0+1) covers unpadded corners x0..x0+1
+    xq = jnp.clip(x0i + 1, 0, W + 1)
+    yq = jnp.clip(y0i + 1, 0, H + 1)
+    q = rows[yq * (W + 2) + xq]  # (..., 4) — ONE row gather per tap
+    top = q[..., 0] * (1 - fx) + q[..., 1] * fx
+    bot = q[..., 2] * (1 - fx) + q[..., 3] * fx
+    d = top * (1 - fy) + bot * fy
+    far = (x0i < -1) | (x0i > W) | (y0i < -1) | (y0i > H)
+    return jnp.where(far, 1.0, d)
 
 
 def pack_random_texture(tex: np.ndarray) -> np.ndarray:
@@ -124,24 +135,40 @@ def pack_random_texture(tex: np.ndarray) -> np.ndarray:
 def build_random_field(tex: np.ndarray, h: int, w: int) -> np.ndarray:
     """Precompute the per-pixel random VECTORS for an (h, w) SSAO grid.
 
-    The random-vector fetch (Ssao.hlsl:63 gRandomVecMap sampled at 4x-tiled
-    screen uv) has data-INDEPENDENT indices — the whole field is frame
-    constant. Folding the gather out of the frame saves one ~10ns gather
-    row per SSAO pixel per frame. Replicates the device path exactly:
-    RGBA8 quantization (pack+unpack roundtrip) and the f32 index math of
-    ssao_occlusion's point-sampled 4x tiling.
+    The random-vector fetch (Ssao.hlsl:138: gRandomVecMap sampled with
+    gsamLinearWrap at 4x-tiled screen uv) has data-INDEPENDENT indices —
+    the whole field is frame constant. Folding the gather out of the frame
+    saves one ~10ns gather row per SSAO pixel per frame. Replicates the
+    reference sampler exactly: RGBA8 quantization of the texture, then
+    BILINEAR filtering with WRAP addressing of the quantized texels at
+    u = 4*TexC (the round trip the D3D sampler performs), then the
+    2x-1 decode.
     """
     t = np.asarray(tex, np.float32)
     q = np.floor(np.clip(t * 255.0 + 0.5, 0, 255)).astype(np.float32) / 255.0
+    S = q.shape[0]
     U = ((np.arange(w, dtype=np.float32) + np.float32(0.5))
          / np.float32(w)).astype(np.float32)
     V = ((np.arange(h, dtype=np.float32) + np.float32(0.5))
          / np.float32(h)).astype(np.float32)
-    rx = np.clip(((U * np.float32(4.0)) % np.float32(1.0)
-                  * np.float32(256.0)).astype(np.int32), 0, 255)
-    ry = np.clip(((V * np.float32(4.0)) % np.float32(1.0)
-                  * np.float32(256.0)).astype(np.int32), 0, 255)
-    return (2.0 * q[ry][:, rx] - 1.0).astype(np.float32)
+    x = U * np.float32(4.0) * np.float32(S) - np.float32(0.5)
+    y = V * np.float32(4.0) * np.float32(S) - np.float32(0.5)
+    x0 = np.floor(x)
+    y0 = np.floor(y)
+    fx = (x - x0).astype(np.float32)[None, :, None]
+    fy = (y - y0).astype(np.float32)[:, None, None]
+    xa = x0.astype(np.int64) % S
+    ya = y0.astype(np.int64) % S
+    xb = (xa + 1) % S
+    yb = (ya + 1) % S
+    c00 = q[ya][:, xa]
+    c10 = q[ya][:, xb]
+    c01 = q[yb][:, xa]
+    c11 = q[yb][:, xb]
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    samp = top * (1 - fy) + bot * fy
+    return (2.0 * samp - 1.0).astype(np.float32)
 
 
 def ssao_occlusion(normal_v, depth_ndc, proj, inv_proj, offsets,
@@ -152,15 +179,24 @@ def ssao_occlusion(normal_v, depth_ndc, proj, inv_proj, offsets,
     """Half-res SSAO occlusion pass (Ssao.hlsl PS).
 
     normal_v: (h, w, 3) view-space normals (half-res); depth_ndc: (h, w)
-    main depth downsampled to half-res; proj/inv_proj: (4, 4) row-vector.
-    Returns (h, w) ambient access in [0, 1].
+    main depth downsampled to half-res (the box mean equals the
+    reference's LINEAR center-depth fetch at ssao_scale=2 with even
+    dimensions). proj/inv_proj: (4, 4) row-vector. Returns (h, w) ambient
+    access in [0, 1].
+
+    tap_depth: the FULL-RESOLUTION NDC depth map the 14 occluder taps
+    sample — the reference binds the full-res depth buffer and samples it
+    with gsamDepthMap (MIN_MAG_MIP_LINEAR, border OPAQUE_WHITE,
+    Ssao.hlsl:164); taps here are bilinear border-white quad-row gathers.
+    None falls back to depth_ndc (unit tests where the SSAO grid IS the
+    depth grid).
 
     Band rendering (parallel.sharded): when this computes rows
     [row_offset, row_offset + h) of a full_height-row screen, the NDC view
-    rays and the random-texture tiling must use GLOBAL rows, and the
-    projective occluder taps must sample the FULL half-res depth map
-    (``tap_depth``, (full_height, w)) — the taps land anywhere on screen
-    (Ssao.hlsl:67-69 reconstructs rays from full-frame NDC).
+    rays and the random-texture tiling must use GLOBAL rows, and
+    ``tap_depth`` must be the all-gathered full-screen depth — the taps
+    land anywhere on screen (Ssao.hlsl:67-69 reconstructs rays from
+    full-frame NDC).
     """
     h, w = depth_ndc.shape
     if full_height is None:
@@ -208,7 +244,7 @@ def ssao_occlusion(normal_v, depth_ndc, proj, inv_proj, offsets,
 
     occlusion_sum = jnp.zeros_like(pz)
     fade_len = fade_end - fade_start
-    tap_rows, _ = _quad_rows(tap_depth)
+    tap_rows, _ = _quad_rows(_pad_border_white(tap_depth))
     th, tw = tap_depth.shape
     for i in range(offsets.shape[0]):
         off = jnp.asarray(offsets[i])
@@ -222,7 +258,7 @@ def ssao_occlusion(normal_v, depth_ndc, proj, inv_proj, offsets,
         qn = qh[..., :3] / jnp.maximum(qh[..., 3:4], 1e-8)
         qu = qn[..., 0] * 0.5 + 0.5
         qv = -qn[..., 1] * 0.5 + 0.5
-        rz_ndc = _tap_depth_border_white(tap_rows, th, tw, qu, qv)
+        rz_ndc = _tap_depth_bilinear_white(tap_rows, th, tw, qu, qv)
         rz = ndc_depth_to_view(rz_ndc, A22, B32)
         r = (rz / jnp.where(q[..., 2] == 0, 1e-8, q[..., 2]))[..., None] * q
         dist_z = p[..., 2] - r[..., 2]
@@ -239,22 +275,37 @@ def ssao_occlusion(normal_v, depth_ndc, proj, inv_proj, offsets,
     return jnp.clip(access, 0.0, 1.0) ** 6
 
 
-def bilateral_blur(ambient, normal_v, depth_view, weights, horizontal: bool):
+def bilateral_blur(ambient, normal_v, depth_view, weights, horizontal: bool,
+                   border_depth_view: float = None):
     """SsaoBlur.hlsl PS: radius-5 separable Gaussian with edge stopping
     (reject neighbor if dot(normals) < 0.8 or |view depth diff| > 0.2),
-    renormalized by accepted weight."""
+    renormalized by accepted weight.
+
+    border_depth_view: the view depth a neighbor tap reads PAST the screen
+    edge. The reference samples depth with gsamDepthMap (border
+    OPAQUE_WHITE), so off-screen neighbors read NDC depth 1.0 -> the far
+    plane's view depth and are rejected by the 0.2 depth stop; ambient and
+    normals use pointClamp (edge clamp) as before. None keeps the old
+    clamp-to-edge depth (pre-parity behavior, unit tests only).
+    """
     radius = (len(weights) - 1) // 2
     axis = 1 if horizontal else 0
     acc = weights[radius] * ambient
     total = jnp.full_like(ambient, weights[radius])
     n_c = normal_v
     d_c = depth_view
+    n = ambient.shape[axis]
     for i in range(-radius, radius + 1):
         if i == 0:
             continue
         a_n = _shift_clamp(ambient, i, axis)
         n_n = _shift_clamp(normal_v, i, axis)
         d_n = _shift_clamp(depth_view, i, axis)
+        if border_depth_view is not None:
+            off = (jnp.arange(n) + i < 0) | (jnp.arange(n) + i >= n)
+            off = off[:, None] if axis == 0 else off[None, :]
+            d_n = jnp.where(off, jnp.asarray(border_depth_view,
+                                             d_n.dtype), d_n)
         ok = (((n_n * n_c).sum(-1) >= 0.8)
               & (jnp.abs(d_n - d_c) <= 0.2)).astype(ambient.dtype)
         wgt = weights[i + radius] * ok

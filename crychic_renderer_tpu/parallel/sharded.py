@@ -459,12 +459,18 @@ def _band_ssao(scene: fr.DeviceScene, consts: fr.FrameConstants,
     true_h = cfg.ssao_height
     d_half_all = comm.all_gather(d_half).reshape(
         n_dev * bh, d_half.shape[1])
+    # the 14 occluder taps sample the FULL-RES depth buffer (Ssao.hlsl:164
+    # gsamDepthMap — see ssao_occlusion), and they land anywhere on
+    # screen, so the full-res band depths are all-gathered too (the
+    # half-res gather above still feeds the blur's edge-stop depths)
+    depth_all = comm.all_gather(depth).reshape(
+        n_dev * depth.shape[0], depth.shape[1])
     band_field = jax.lax.dynamic_slice_in_dim(
         scene.ssao_random_field, d * bh, bh, axis=0)
     access = ssao_ops.ssao_occlusion(
         n_half, d_half, consts.proj, consts.inv_proj,
         scene.ssao_offsets, random_field=band_field,
-        tap_depth=d_half_all[:true_h], row_offset=d * bh,
+        tap_depth=depth_all[:cfg.height], row_offset=d * bh,
         full_height=true_h)
     # blur on a band SLICE of the gathered half-res maps with an exact
     # halo: ssao_blur_count iterations of the radius-r vertical blur
@@ -508,7 +514,8 @@ def _band_fast_shadow_factor(scene: fr.DeviceScene,
     sf_local = shadows.cascade_shadow_factor(
         shadow_maps, consts.shadow_transforms, pos_w[::2, ::2],
         consts.eye_pos, cfg.shadow_map_size,
-        deferred_blend_quirk=cfg.deferred)
+        deferred_blend_quirk=cfg.deferred,
+        soft_radius_texels=cfg.pcf_radius_texels)
     n_dev = comm.n_dev
     bh2 = band_h // 2
     sf_all = comm.all_gather(sf_local).reshape(

@@ -624,10 +624,16 @@ def ssao_blur(scene: DeviceScene, consts: FrameConstants, cfg: RenderConfig,
     """N two-pass (horizontal + vertical) bilateral blurs."""
     d_view = ssao_ops.ndc_depth_to_view(d_half, consts.proj[2, 2],
                                         consts.proj[3, 2])
+    # off-screen neighbor taps read the white depth border (NDC 1 = the
+    # far plane in view space) through gsamDepthMap — SsaoBlur.hlsl:112
+    border = ssao_ops.ndc_depth_to_view(1.0, consts.proj[2, 2],
+                                        consts.proj[3, 2])
     w = scene.ssao_blur_weights
     for _ in range(cfg.ssao_blur_count):
-        access = ssao_ops.bilateral_blur(access, n_half, d_view, w, True)
-        access = ssao_ops.bilateral_blur(access, n_half, d_view, w, False)
+        access = ssao_ops.bilateral_blur(access, n_half, d_view, w, True,
+                                         border_depth_view=border)
+        access = ssao_ops.bilateral_blur(access, n_half, d_view, w, False,
+                                         border_depth_view=border)
     return access
 
 
@@ -637,7 +643,9 @@ def ssao_pass(scene: DeviceScene, consts: FrameConstants, cfg: RenderConfig,
     n_half, d_half = ssao_inputs_half(cfg, normal_v, depth)
     access = ssao_ops.ssao_occlusion(
         n_half, d_half, consts.proj, consts.inv_proj,
-        scene.ssao_offsets, random_field=scene.ssao_random_field)
+        scene.ssao_offsets, random_field=scene.ssao_random_field,
+        tap_depth=depth)  # full-res taps (Ssao.hlsl samples the full
+    # depth buffer with the linear border-white gsamDepthMap)
     return ssao_blur(scene, consts, cfg, access, n_half, d_half)
 
 
@@ -687,12 +695,14 @@ def lighting_pass(scene: DeviceScene, consts: FrameConstants,
             sf_half = shadows.cascade_shadow_factor(
                 shadow_maps, consts.shadow_transforms,
                 pos_w[::2, ::2], consts.eye_pos,
-                cfg.shadow_map_size, deferred_blend_quirk=cfg.deferred)
+                cfg.shadow_map_size, deferred_blend_quirk=cfg.deferred,
+                soft_radius_texels=cfg.pcf_radius_texels)
             sf = _upsample_bilinear(sf_half, H, W)
         else:
             sf = shadows.cascade_shadow_factor(
                 shadow_maps, consts.shadow_transforms, pos_w, consts.eye_pos,
-                cfg.shadow_map_size, deferred_blend_quirk=cfg.deferred)
+                cfg.shadow_map_size, deferred_blend_quirk=cfg.deferred,
+                soft_radius_texels=cfg.pcf_radius_texels)
         sf = sf[..., None]
     else:
         sf = jnp.ones_like(roughness)

@@ -18,15 +18,16 @@ import numpy as np
 
 
 def _save(img: np.ndarray, path: str, scale: int = 2):
-    from PIL import Image
+    from crychic_renderer_tpu.app.renderer import write_png
 
-    u8 = (np.clip(img[..., :3], 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
-    im = Image.fromarray(u8)
-    if scale > 1:
-        im = im.resize((im.width // scale, im.height // scale),
-                       Image.LANCZOS)
-    im.save(path)
-    print(f"wrote {path} ({im.width}x{im.height})")
+    rgb = np.clip(img[..., :3], 0.0, 1.0).astype(np.float32)
+    if scale > 1:  # box downscale (dependency-free, like write_png itself)
+        h, w = rgb.shape[:2]
+        h2, w2 = h // scale * scale, w // scale * scale
+        rgb = rgb[:h2, :w2].reshape(h2 // scale, scale, w2 // scale,
+                                    scale, 3).mean((1, 3))
+    write_png(path, rgb)
+    print(f"wrote {path} ({rgb.shape[1]}x{rgb.shape[0]})")
 
 
 def main():
@@ -55,11 +56,11 @@ def main():
     for n in sorted(CONFIGS):
         scene, cfg, lights = CONFIGS[n]()
         if args.small:
+            # capacities are left alone: Renderer's auto_capacity resizes
+            # them from exact pair counts anyway
             cfg = dataclasses.replace(
                 cfg, width=cfg.width // 4, height=cfg.height // 4,
-                shadow_map_size=max(cfg.shadow_map_size // 4, 128),
-                pair_capacity=cfg.pair_capacity // 2,
-                shadow_pair_capacity=cfg.shadow_pair_capacity // 2)
+                shadow_map_size=max(cfg.shadow_map_size // 4, 128))
         r = Renderer(scene, cfg, lights=lights)
         _save(r.render_np(0.1), f"{args.out}/config{n}_{captions[n]}.png",
               scale=1 if args.small else 2)

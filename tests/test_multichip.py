@@ -15,10 +15,12 @@ def test_dryrun_multichip_entry():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n_dev", [16, 32])
+@pytest.mark.parametrize("n_dev", [16, 32, 64])
 def test_dryrun_at_scaling_table_device_counts(n_dev):
-    """PERF.md's scaling table projects 16/32-chip frames; run the full
-    dryrun (XLA 1080-row + Pallas band + replica axis) at those counts.
+    """PERF.md's scaling table projects 16/32-chip frames and the 2x32
+    replica configuration projects the 64-chip number; run the full
+    dryrun (XLA 1080-row + Pallas band + replica axis — at n_dev=64 the
+    replica leg IS the projected 2x32 mesh) at those counts.
     Needs its own interpreter: the virtual device count is fixed at
     backend init, so this spawns a subprocess with a larger mesh."""
     import os
@@ -28,10 +30,14 @@ def test_dryrun_at_scaling_table_device_counts(n_dev):
     env = dict(os.environ)
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_dev}"
     env["JAX_PLATFORMS"] = "cpu"
+    # run from the repo root so __graft_entry__/crychic_renderer_tpu
+    # resolve regardless of pytest's invocation directory
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
         [sys.executable, "-c",
          f"import __graft_entry__ as g; g.dryrun_multichip({n_dev})"],
-        env=env, capture_output=True, text=True, timeout=1500)
+        env=env, cwd=repo_root, capture_output=True, text=True,
+        timeout=1500)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "pallas band ok" in out.stdout, out.stdout
     assert "replica axis ok" in out.stdout, out.stdout

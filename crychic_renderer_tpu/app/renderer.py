@@ -97,7 +97,8 @@ def load_texture_chains(names, asset_dir=DEFAULT_ASSET_DIR):
     return chains, anim_frames
 
 
-def build_pair_pool(scene: Scene, asset_dir=DEFAULT_ASSET_DIR):
+def build_pair_pool(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
+                    dual: bool = True):
     """Build the (diffuse, normal) pair pool for a scene's materials (see
     ops.sampling.PairPool). Static material pairs are deduplicated into
     the big class; animated materials get one small-class pair per
@@ -134,7 +135,8 @@ def build_pair_pool(scene: Scene, asset_dir=DEFAULT_ASSET_DIR):
         mat_pair[m] = n_big + first
     anim_specs = {m: (n_big + first, count, fps)
                   for m, (first, count, fps) in anim_local.items()}
-    pool = sampling.PairPool.build(big_pairs + small_pairs, n_big)
+    pool = sampling.PairPool.build(big_pairs + small_pairs, n_big,
+                                   dual=dual)
     return pool, mat_pair, anim_specs
 
 
@@ -157,10 +159,12 @@ def load_sky_cubemap(path: str) -> np.ndarray:
 
 def build_device_scene(scene: Scene, asset_dir=DEFAULT_ASSET_DIR,
                        lights=None, ssao_dims=(540, 960),
-                       sky_cubemap_path: str = None) -> fr.DeviceScene:
+                       sky_cubemap_path: str = None,
+                       dual_mip_rows: bool = True) -> fr.DeviceScene:
     if lights is None:
         lights = build_reference_lights()
-    pool, mat_pair, anim_specs = build_pair_pool(scene, asset_dir)
+    pool, mat_pair, anim_specs = build_pair_pool(scene, asset_dir,
+                                                 dual=dual_mip_rows)
     mb = scene.material_bank
     if sky_cubemap_path:
         cubemap = sampling.pack_cubemap(load_sky_cubemap(sky_cubemap_path))
@@ -220,7 +224,8 @@ class Renderer:
         self.device_scene, self.anim_specs = build_device_scene(
             scene, asset_dir, lights,
             ssao_dims=(self.cfg.ssao_height, self.cfg.ssao_width),
-            sky_cubemap_path=sky_cubemap_path)
+            sky_cubemap_path=sky_cubemap_path,
+            dual_mip_rows=self.cfg.dual_mip_rows)
         self._base_mat_pair = np.asarray(self.device_scene.mat_pair)
         self._auto_capacity = auto_capacity
         if auto_capacity:

@@ -46,10 +46,10 @@ def main():
     scene, cfg, lights = CONFIGS[args.config]()
     if args.fast:
         # documented performance preset (PERF.md): half-res PCF factor,
-        # quarter-res SSAO, 2-probe anisotropy — local, bounded image
-        # deltas for ~1.5x frame speed
+        # quarter-res SSAO, trilinear texturing (1 dual-mip gather) —
+        # local, bounded image deltas for frame speed
         cfg = dataclasses.replace(cfg, fast_shadow_factor=True,
-                                  ssao_scale=4, aniso_probes=2)
+                                  ssao_scale=4, anisotropy=1)
     if args.small:
         cfg = dataclasses.replace(
             cfg, width=cfg.width // 4, height=cfg.height // 4,

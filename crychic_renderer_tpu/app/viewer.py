@@ -169,7 +169,7 @@ def main(argv=None):
         # quarter-res SSAO, 2-probe anisotropy — local, bounded image
         # deltas for ~1.5x frame speed
         cfg = dataclasses.replace(cfg, fast_shadow_factor=True,
-                                  ssao_scale=4, aniso_probes=2)
+                                  ssao_scale=4, anisotropy=1)
     if args.res != "native":
         h = 1080 if args.res == "1080p" else 720
         w = h * 16 // 9

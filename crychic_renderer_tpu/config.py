@@ -40,8 +40,13 @@ class RenderConfig:
     anisotropy: int = 8
     # static probe count for the aniso sampler (gathers per pixel); probes
     # alternate mip levels, so 4 probes = the cost of plain trilinear of
-    # two textures while covering an 8:1 footprint (see sample_pair_aniso)
-    aniso_probes: int = 4
+    # two textures while covering an 8:1 footprint (see sample_pair_aniso).
+    # With dual_mip_rows each probe is a full trilinear from ONE gather:
+    # 2 dual probes measure equal to the legacy 4 alternating-mip probes
+    # against the 8-probe reference-quality evaluator (config 5: 40.4 vs
+    # 41.1 dB, fewer >2% pixels — experiments/aniso_quality.py) at HALF
+    # the row gathers; 4 dual probes are the high-quality option (44.2 dB)
+    aniso_probes: int = 2
     use_pallas: bool = True  # Pallas raster kernel (TPU) vs pure-XLA path
     # alpha-tested geometry (the reference's ALPHA_TEST shader variants,
     # Default.hlsl clip(diffuseAlbedo.a - 0.1), Shadows.hlsl:49-65).
@@ -71,6 +76,12 @@ class RenderConfig:
     # restores the soft disk the author evidently INTENDED (the float
     # value of 5/width/2 texels) — an enhancement, not parity.
     pcf_radius_texels: float = None
+    # texture pool layout: dual-mip rows pack mip m AND its m+1 parent
+    # quads in one 16-lane row, so a trilinear sample and EVERY aniso
+    # probe pay ONE row gather instead of two, at 2x pool bytes
+    # (ops.sampling.PairPool docstring; quantified vs the 16-probe
+    # reference-quality evaluator in experiments/aniso_quality.py)
+    dual_mip_rows: bool = True
     # performance knobs (defaults keep reference parity):
     # compute the cascade PCF factor at half resolution + bilinear upsample
     fast_shadow_factor: bool = False

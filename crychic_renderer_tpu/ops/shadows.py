@@ -220,6 +220,80 @@ def superwindow_maps_u16(shadow_maps):
     return superwindow_from_packed(pack_depth_rows_u16(shadow_maps))
 
 
+def _quad_rows_from_u16(qi):
+    """(C, S, S) int32/uint32 16-bit depth values -> (C*(S+2)^2, 2) u32
+    quad rows: for every texel of the zero-PADDED map (1-texel border of
+    depth 0 = the gsamShadow OPAQUE_BLACK border), its 2x2 neighborhood
+    packed as two x-pair lanes [t00|t10<<16, t01|t11<<16]."""
+    qi = qi.astype(jnp.uint32)
+    C = qi.shape[0]
+    p = jnp.pad(qi, ((0, 0), (1, 1), (1, 1)))
+    x1 = jnp.pad(p[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+    top = p | (x1 << 16)
+    y1 = jnp.pad(top[:, 1:, :], ((0, 0), (0, 1), (0, 0)))
+    return jnp.stack([top, y1], axis=-1).reshape(-1, 2)
+
+
+def quad_maps_u16(shadow_maps):
+    """(C, S, S) f32 depth -> (C*(S+2)^2, 2) u32 8-BYTE quad rows.
+
+    The zero-radius PCF table: with the compiled Poisson radius of 0 the
+    filter needs only the receiver's 2x2 texel quad, so an 8-byte row
+    replaces the 512-byte superwindow row. Same 4x texel redundancy /
+    table bytes-per-cascade as the superwindow, but the narrow rows keep
+    the gather stream cache-resident (screen-local receivers hit
+    map-local quads), measured ~2x faster per row than window rows."""
+    q = jnp.round(jnp.clip(shadow_maps, 0.0, 1.0) * 65535.0)
+    return _quad_rows_from_u16(q.astype(jnp.uint32))
+
+
+def quad_from_packed(p):
+    """(C, S, S/2) u32 packed texel-pair rows (pack_depth_rows_u16) ->
+    (C*(S+2)^2, 2) u32 quad rows — the already-quantized atlas-exchange
+    path (parallel.sharded ships u16)."""
+    e = p & 0xFFFF
+    o = p >> 16
+    qi = jnp.stack([e, o], axis=-1).reshape(p.shape[0], p.shape[1], -1)
+    return _quad_rows_from_u16(qi)
+
+
+def pcf_single_tap(qrows, cascade, shadow_pos, smap_size: int):
+    """One bilinear comparison tap from 8-byte quad rows — the compiled
+    reference's ENTIRE Poisson PCF (radius 0, compiled_poisson_radius_uv):
+    bit-identical to poisson_pcf_windowed(..., soft_radius_texels=None)
+    for in-map receivers, and EXACT for the black border (the windowed
+    path clamps there). ONE row gather per pixel."""
+    S = smap_size
+    P = S + 2
+    inv_w = 1.0 / jnp.maximum(shadow_pos[..., 3], 1e-20)
+    uvz = shadow_pos[..., :3] * inv_w[..., None]
+    u, v, depth = uvz[..., 0], uvz[..., 1], uvz[..., 2]
+    cx = u * S - 0.5
+    cy = v * S - 0.5
+    x0 = jnp.floor(cx).astype(jnp.int32)
+    y0 = jnp.floor(cy).astype(jnp.int32)
+    fx = cx - x0.astype(jnp.float32)
+    fy = cy - y0.astype(jnp.float32)
+    xq = jnp.clip(x0 + 1, 0, P - 1)
+    yq = jnp.clip(y0 + 1, 0, P - 1)
+    row = qrows[(cascade * P + yq) * P + xq]  # (..., 2) u32 — ONE gather
+    dq = depth * 65535.0 - 0.5
+    c00 = (dq <= (row[..., 0] & 0xFFFF).astype(jnp.float32)).astype(
+        jnp.float32)
+    c10 = (dq <= (row[..., 0] >> 16).astype(jnp.float32)).astype(
+        jnp.float32)
+    c01 = (dq <= (row[..., 1] & 0xFFFF).astype(jnp.float32)).astype(
+        jnp.float32)
+    c11 = (dq <= (row[..., 1] >> 16).astype(jnp.float32)).astype(
+        jnp.float32)
+    lit = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+           + (c01 * (1 - fx) + c11 * fx) * fy)
+    # receivers whose quad lies fully outside the padded ring read pure
+    # border (all taps black): SampleCmpLevelZero returns 0 there
+    far = (x0 < -1) | (x0 > S - 1) | (y0 < -1) | (y0 > S - 1)
+    return jnp.where(far, 0.0, lit)
+
+
 def _unpack_u16_window(w32):
     """(..., K) u32 -> (..., 2K) f32 in 16-bit UNORM steps (0..65535)."""
     e = (w32 & 0xFFFF).astype(jnp.float32)
@@ -404,6 +478,43 @@ def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
         sel = (jnp.arange(4).reshape((4,) + (1,) * (cascade_idx.ndim + 1))
                == cascade_idx[None, ..., None]).astype(all_pos.dtype)
         return (all_pos * sel).sum(axis=0)
+
+    if soft_radius_texels is None:
+        # compiled-reference radius 0: one bilinear comparison tap from
+        # 8-BYTE quad rows (pcf_single_tap) instead of 512-byte window
+        # rows — same table bytes, but the narrow rows keep the gather
+        # cache-resident (measured ~2x faster) and skip the window
+        # extract/unpack/tent VPU work entirely
+        def quads_of(maps):
+            if maps.dtype == jnp.uint32 and maps.ndim == 3:
+                return quad_from_packed(maps)
+            return quad_maps_u16(maps)
+
+        if shadow_maps.shape[0] == 4:
+            # cascade-PARITY table split (see the superwindow branch)
+            q_e = quads_of(shadow_maps[0::2])
+            q_o = quads_of(shadow_maps[1::2])
+            even = (c & 1) == 0
+            ce = jnp.where(even, c, jnp.minimum(c + 1, 2))
+            co = jnp.where(even, c + 1, c)
+            f_e = pcf_single_tap(q_e, ce >> 1, shadow_pos_for(ce),
+                                 smap_size)
+            f_o = pcf_single_tap(q_o, co >> 1, shadow_pos_for(co),
+                                 smap_size)
+            f_c = jnp.where(even, f_e, f_o)
+            f_n = jnp.where(even, f_o, f_e)
+        else:
+            q = quads_of(shadow_maps)
+            c_next = jnp.minimum(c + 1, 3)
+            f_c = pcf_single_tap(q, c, shadow_pos_for(c), smap_size)
+            f_n = pcf_single_tap(q, c_next, shadow_pos_for(c_next),
+                                 smap_size)
+        if deferred_blend_quirk:
+            blend = c < 3
+        else:
+            blend = (c < 3) & (jnp.abs(dist - radii[c]) < 10.0)
+        factor = jnp.where(blend, 0.5 * (f_c + f_n), f_c)
+        return jnp.where(no_shadow, 1.0, factor)
 
     def swin_of(maps):
         if maps.dtype == jnp.uint32 and maps.ndim == 3:

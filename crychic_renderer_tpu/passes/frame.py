@@ -142,7 +142,9 @@ class DeviceScene:
 
     @property
     def pair_pool(self):
-        return sampling.PairPool(self.pair_data, self.n_big_pairs)
+        return sampling.PairPool(
+            self.pair_data, self.n_big_pairs,
+            dual=self.pair_data.shape[-1] == sampling.PAIR_ROW_DUAL)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -571,9 +573,17 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
     uv_prev = jnp.concatenate([pix_uv[:1], pix_uv[:-1]], axis=0)
     duv_y = jnp.where(is_last, pix_uv - uv_prev, duv_y)
     if cfg.anisotropy > 1:
-        diffuse_sample, normal_sample = sampling.sample_pair_aniso(
-            pool, pairidx, pix_uv, duv_x, duv_y, cfg.anisotropy,
-            probes=cfg.aniso_probes)
+        if cfg.aniso_probes == 0:
+            # reference-quality evaluation (max_aniso exact-trilinear
+            # probes, 2*max_aniso gathers) — the quality yardstick the
+            # production schedules are quantified against
+            # (experiments/aniso_quality.py); never the frame default
+            diffuse_sample, normal_sample = sampling.sample_pair_aniso_ref(
+                pool, pairidx, pix_uv, duv_x, duv_y, cfg.anisotropy)
+        else:
+            diffuse_sample, normal_sample = sampling.sample_pair_aniso(
+                pool, pairidx, pix_uv, duv_x, duv_y, cfg.anisotropy,
+                probes=cfg.aniso_probes)
     else:
         lod_uv = sampling.lod_from_derivatives(duv_x, duv_y)
         diffuse_sample, normal_sample = sampling.sample_pair_trilinear(

@@ -107,3 +107,126 @@ def test_aniso_sharper_than_trilinear_at_grazing():
     contrast_t = np.asarray(dt)[:, 0].std()
     assert contrast_a > contrast_t * 2.0, (contrast_a, contrast_t)
     assert contrast_a > 0.3, contrast_a
+
+
+# ---------------------------------------------------------------------------
+# Dual-mip rows
+# ---------------------------------------------------------------------------
+
+def test_dual_pool_prefix_matches_single():
+    """Lanes 0:8 of a dual-mip pool are exactly the single-mip pool, so
+    sample_pair_bilinear works unchanged on either layout."""
+    rng = np.random.default_rng(3)
+    img = [rng.integers(0, 255, (512, 512, 4), dtype=np.uint8)]
+    img2 = [rng.integers(0, 255, (64, 64, 4), dtype=np.uint8)]
+    pairs = [(img, img), (img2, img2)]
+    p1 = sampling.PairPool.build(pairs, n_big=1)
+    p2 = sampling.PairPool.build(pairs, n_big=1, dual=True)
+    assert p2.data.shape[-1] == sampling.PAIR_ROW_DUAL
+    np.testing.assert_array_equal(np.asarray(p1.data),
+                                  np.asarray(p2.data[:, :8]))
+
+
+def test_dual_trilinear_exact_on_nonneg_parent_frac():
+    """sample_pair_dual's mip-(m+1) bilinear is EXACT whenever the stored
+    midpoint-parent frac is >= 0 (odd child texels always; even child
+    texels with fx >= 0.5): fx1 = fx/2 - 0.25 + 0.5*(x0 odd)."""
+    rng = np.random.default_rng(7)
+    img = [rng.integers(0, 255, (512, 512, 4), dtype=np.uint8)]
+    pairs = [(img, img)]
+    p1 = sampling.PairPool.build(pairs, n_big=1)
+    p2 = sampling.PairPool.build(pairs, n_big=1, dual=True)
+    # sample at x = texel_center + 0.75 (fx = 0.75 -> fx1 >= 0 for both
+    # parities), arbitrary texels, fractional lod
+    S = 256.0  # mip 1 grid
+    base = rng.integers(0, 255, 64).astype(np.float32)
+    uv = np.stack([(base + 0.5 + 0.75) / S, (base[::-1] + 0.5 + 0.75) / S],
+                  axis=-1).astype(np.float32)
+    lod_uv = np.full(64, np.log2(2.5 / 512.0), np.float32)  # lod ~1.32
+    pair = jnp.zeros(64, jnp.int32)
+    d1, n1 = sampling.sample_pair_trilinear(p1, pair, jnp.asarray(uv),
+                                            jnp.asarray(lod_uv))
+    d2, n2 = sampling.sample_pair_trilinear(p2, pair, jnp.asarray(uv),
+                                            jnp.asarray(lod_uv))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), atol=2e-6)
+
+
+def test_dual_trilinear_bounded_on_smooth_mips():
+    """On smooth content the midpoint-parent extrapolation error is tiny
+    (it is bounded by 0.25x the parent mip's second difference)."""
+    y, x = np.mgrid[:512, :512].astype(np.float32)
+    # PERIODIC content (8 / 6 cycles over the 512 tile): material textures
+    # tile, and the midpoint-parent quad wrap-addresses its +1 neighbor,
+    # so a non-tiling test pattern would measure the wrap seam's content
+    # discontinuity rather than the extrapolation bound
+    v = (127.5 + 100 * np.sin(x * (8 * np.pi / 512))
+         * np.cos(y * (6 * np.pi / 512))).astype(np.uint8)
+    img = [np.stack([v, v, v, np.full_like(v, 255)], -1)]
+    pairs = [(img, img)]
+    p1 = sampling.PairPool.build(pairs, n_big=1)
+    p2 = sampling.PairPool.build(pairs, n_big=1, dual=True)
+    rng = np.random.default_rng(11)
+    uv = jnp.asarray(rng.random((512, 2)), jnp.float32)
+    # footprints of 1-4 texels (mips 0-2): there the parent mips still
+    # resolve the ~125-texel sine period, i.e. content IS smooth relative
+    # to texel spacing (at deeper mips the premise, and the bound's
+    # usefulness, fade with the content itself)
+    lod_uv = jnp.asarray(
+        np.log2(rng.uniform(1.0, 4.0, 512) / 512.0), jnp.float32)
+    pair = jnp.zeros(512, jnp.int32)
+    d1, _ = sampling.sample_pair_trilinear(p1, pair, uv, lod_uv)
+    d2, _ = sampling.sample_pair_trilinear(p2, pair, uv, lod_uv)
+    assert np.abs(np.asarray(d1) - np.asarray(d2)).max() < 0.01
+
+
+def test_dual_aniso_matches_trilinear_when_isotropic():
+    rng = np.random.default_rng(13)
+    img = [rng.integers(0, 255, (512, 512, 4), dtype=np.uint8)]
+    pool = sampling.PairPool.build([(img, img)], n_big=1, dual=True)
+    uv = jnp.asarray(rng.random((16, 2)), jnp.float32)
+    d = jnp.full((16, 2), 0.0, jnp.float32).at[:, 0].set(4.0 / 512.0)
+    dy = jnp.full((16, 2), 0.0, jnp.float32).at[:, 1].set(4.0 / 512.0)
+    pair = jnp.zeros(16, jnp.int32)
+    da, na = sampling.sample_pair_aniso(pool, pair, uv, d, dy, 8, probes=2)
+    dt, nt = sampling.sample_pair_trilinear(
+        pool, pair, uv, sampling.lod_from_derivatives(d, dy))
+    np.testing.assert_allclose(np.asarray(da), np.asarray(dt), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(na), np.asarray(nt), atol=1e-5)
+
+
+def test_aniso_ref_matches_exact_trilinear_when_isotropic():
+    rng = np.random.default_rng(17)
+    img = [rng.integers(0, 255, (512, 512, 4), dtype=np.uint8)]
+    pool = sampling.PairPool.build([(img, img)], n_big=1)
+    uv = jnp.asarray(rng.random((16, 2)), jnp.float32)
+    d = jnp.full((16, 2), 0.0, jnp.float32).at[:, 0].set(4.0 / 512.0)
+    dy = jnp.full((16, 2), 0.0, jnp.float32).at[:, 1].set(4.0 / 512.0)
+    pair = jnp.zeros(16, jnp.int32)
+    da, _ = sampling.sample_pair_aniso_ref(pool, pair, uv, d, dy, 8)
+    dt, _ = sampling.sample_pair_trilinear(
+        pool, pair, uv, sampling.lod_from_derivatives(d, dy))
+    np.testing.assert_allclose(np.asarray(da), np.asarray(dt), atol=1e-5)
+
+
+def test_dual_aniso_sharper_than_trilinear_at_grazing():
+    x = np.arange(512)
+    v = ((x // 4 % 2) * 255).astype(np.uint8)
+    img = [np.broadcast_to(
+        np.stack([v, v, v, np.full_like(v, 255)], -1)[None],
+        (512, 512, 4)).copy()]
+    pool = sampling.PairPool.build([(img, img)], n_big=1, dual=True)
+    n = 16
+    uv = jnp.asarray(
+        np.stack([(np.arange(n) * 4 + 2.0) / 512.0,
+                  np.full(n, 0.5)], axis=-1), jnp.float32)
+    dx = jnp.tile(jnp.asarray([[1.0 / 512.0, 0.0]]), (n, 1))
+    dy = jnp.tile(jnp.asarray([[0.0, 8.0 / 512.0]]), (n, 1))
+    pair = jnp.zeros(n, jnp.int32)
+    da, _ = sampling.sample_pair_aniso(pool, pair, uv, dx, dy, 8, probes=2)
+    dt, _ = sampling.sample_pair_trilinear(
+        pool, pair, uv, sampling.lod_from_derivatives(dx, dy))
+    contrast_a = np.asarray(da)[:, 0].std()
+    contrast_t = np.asarray(dt)[:, 0].std()
+    assert contrast_a > contrast_t * 2.0, (contrast_a, contrast_t)
+    assert contrast_a > 0.3, contrast_a

@@ -1,16 +1,19 @@
-"""Texture sampling: mip-pyramid pool, bilinear/trilinear 2D sampling,
-cubemap sampling.
+"""Texture sampling: the (diffuse, normal) pair pool with quad rows and
+dual-mip rows, anisotropic probe schedules, and cubemap sampling.
 
 Replaces the D3D12 sampler hardware used by the reference's shaders
-(gsamAnisotropicWrap / gsamLinearClamp / gsamLinearWrap, static samplers at
-/root/reference/CRYCHIC.cpp:2601). TPUs sample via gathers, so all textures
-are packed into ONE flat float32 pool in HBM with an (ntex, nmips) offset
-table; a sample is 4 gathers (bilinear) or 8 (trilinear) from the pool.
+(gsamAnisotropicWrap / gsamLinearClamp / gsamLinearWrap, static samplers
+at /root/reference/CRYCHIC.cpp:2601). TPUs sample via gathers, and gather
+cost is per ROW, so the pool is shaped to minimize row count: one row
+carries the 2x2 bilinear quads of BOTH maps a G-buffer pixel samples
+(PairPool), and optionally of both mip levels a trilinear blend needs
+(dual-mip rows) — one gather per bilinear/trilinear sample, one per
+anisotropic probe.
 
-Note on filtering parity: the reference samples diffuse/normal maps with
-anisotropic filtering; we implement trilinear (isotropic footprint). This
-is a deliberate quality trade documented for image comparison (differences
-concentrate at grazing angles).
+Filtering parity: D3D12_FILTER_ANISOTROPIC (MaxAnisotropy=8) is
+approximated by a probe schedule whose quality is QUANTIFIED against the
+16-gather reference evaluation (sample_pair_aniso_ref,
+experiments/aniso_quality.py); deviations concentrate at grazing angles.
 """
 from __future__ import annotations
 
@@ -18,9 +21,6 @@ import dataclasses
 
 import numpy as np
 import jax.numpy as jnp
-
-WRAP = 0
-CLAMP = 1
 
 # Two-class pool geometry: "big" textures (material maps) are stored at
 # POOL_SIZE^2 with full mip chains; "small" textures (the 64x64 animation
@@ -58,68 +58,6 @@ def _mip_offset_small_dyn(mip):
     return (16384 - (jnp.int32(1) << (14 - 2 * mip))) // 3
 
 
-@dataclasses.dataclass
-class TexturePool:
-    """Device-side texture pool.
-
-    data: (num_textures * TEX_STRIDE, 4) uint32 — for each texel, its 2x2
-    WRAP-addressed neighborhood quad [(x,y), (x+1,y), (x,y+1), (x+1,y+1)],
-    each RGBA8 packed (r | g<<8 | b<<16 | a<<24). One 16-byte quad row per
-    bilinear sample (TPU gather latency is per row); every texture is
-    resampled to POOL_SIZE^2 with POOL_MIPS levels so addressing needs no
-    per-pixel table lookups.
-    """
-
-    data: jnp.ndarray
-    n_big: int
-
-    @staticmethod
-    def build(textures, n_big: int = None) -> "TexturePool":
-        """textures: list of per-texture mip lists, each (H, W, 4) uint8.
-        Textures [0, n_big) are resampled to POOL_SIZE^2 ("big" class),
-        the rest to POOL_SIZE_SMALL^2; mip chains regenerated by box
-        filtering."""
-        from ..io.dds import generate_mips
-
-        if n_big is None:
-            n_big = len(textures)
-        chunks = []
-        for ti, mips in enumerate(textures):
-            size = POOL_SIZE if ti < n_big else POOL_SIZE_SMALL
-            levels = POOL_MIPS if ti < n_big else POOL_MIPS_SMALL
-            img = mips[0]
-            h, w = img.shape[:2]
-            if (h, w) != (size, size):
-                if h > size or w > size:  # downsample via mip chain
-                    chain0 = generate_mips(img)
-                    for m in chain0:
-                        if max(m.shape[:2]) <= size:
-                            img = m
-                            break
-                    h, w = img.shape[:2]
-                ry = max(size // max(h, 1), 1)
-                rx = max(size // max(w, 1), 1)
-                img = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)
-                img = img[:size, :size]
-                if img.shape[0] < size or img.shape[1] < size:
-                    img = np.pad(img, ((0, size - img.shape[0]),
-                                       (0, size - img.shape[1]),
-                                       (0, 0)), mode="edge")
-            chain = generate_mips(img)[:levels]
-            for level in range(levels):
-                m = chain[min(level, len(chain) - 1)]
-                u = m.astype(np.uint32)
-                packed = (u[..., 0] | (u[..., 1] << 8)
-                          | (u[..., 2] << 16) | (u[..., 3] << 24))
-                xp = np.roll(packed, -1, axis=1)  # x+1, wrap
-                yp = np.roll(packed, -1, axis=0)  # y+1, wrap
-                xyp = np.roll(xp, -1, axis=0)
-                quad = np.stack([packed, xp, yp, xyp], axis=-1)
-                chunks.append(quad.reshape(-1, 4))
-        data = np.concatenate(chunks, axis=0)
-        return TexturePool(data=jnp.asarray(data), n_big=int(n_big))
-
-
 def unpack_rgba8(packed: jnp.ndarray) -> jnp.ndarray:
     """(…,) uint32 -> (…, 4) float32 in [0, 1]."""
     p = packed
@@ -128,79 +66,6 @@ def unpack_rgba8(packed: jnp.ndarray) -> jnp.ndarray:
     b = ((p >> 16) & 0xFF).astype(jnp.float32)
     a = ((p >> 24) & 0xFF).astype(jnp.float32)
     return jnp.stack([r, g, b, a], axis=-1) * (1.0 / 255.0)
-
-
-def _wrap_coord(i, n, mode):
-    if mode == WRAP:
-        return jnp.remainder(i, n)
-    return jnp.clip(i, 0, n - 1)
-
-
-def sample_bilinear(pool: TexturePool, tex: jnp.ndarray, uv: jnp.ndarray,
-                    mip: jnp.ndarray, mode: int = WRAP) -> jnp.ndarray:
-    """tex: (...,) int32; uv: (..., 2); mip: (...,) int32 -> (..., 4).
-
-    One quad-row gather per sample, with fully analytic addressing (see
-    TexturePool). The pool bakes WRAP addressing for the +1 neighbors (the
-    reference samples material textures with the Wrap samplers); mode only
-    affects the base texel.
-    """
-    is_big = tex < pool.n_big
-    mip_b = jnp.clip(mip, 0, POOL_MIPS - 1)
-    mip_s = jnp.clip(mip, 0, POOL_MIPS_SMALL - 1)
-    size = jnp.where(is_big, jnp.int32(POOL_SIZE) >> mip_b,
-                     jnp.int32(POOL_SIZE_SMALL) >> mip_s)
-    fsize = size.astype(jnp.float32)
-    x = uv[..., 0] * fsize - 0.5
-    y = uv[..., 1] * fsize - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    xa = _wrap_coord(x0.astype(jnp.int32), size, mode)
-    ya = _wrap_coord(y0.astype(jnp.int32), size, mode)
-    small_base = pool.n_big * TEX_STRIDE
-    off = jnp.where(
-        is_big, tex * TEX_STRIDE + _mip_offset_dyn(mip_b),
-        small_base + (tex - pool.n_big) * TEX_STRIDE_SMALL
-        + _mip_offset_small_dyn(mip_s))
-    quad = pool.data[off + ya * size + xa]  # (..., 4) u32 — ONE gather
-    c00 = unpack_rgba8(quad[..., 0])
-    c10 = unpack_rgba8(quad[..., 1])
-    c01 = unpack_rgba8(quad[..., 2])
-    c11 = unpack_rgba8(quad[..., 3])
-    top = c00 * (1 - fx) + c10 * fx
-    bot = c01 * (1 - fx) + c11 * fx
-    return top * (1 - fy) + bot * fy
-
-
-def sample_trilinear(pool: TexturePool, tex: jnp.ndarray, uv: jnp.ndarray,
-                     lod: jnp.ndarray, mode: int = WRAP) -> jnp.ndarray:
-    """lod: (...,) float32 mip level."""
-    lod = jnp.clip(lod, 0.0, POOL_MIPS - 1.0)
-    m0 = jnp.floor(lod).astype(jnp.int32)
-    m1 = jnp.minimum(m0 + 1, POOL_MIPS - 1)
-    f = (lod - m0.astype(jnp.float32))[..., None]
-    a = sample_bilinear(pool, tex, uv, m0, mode)
-    b = sample_bilinear(pool, tex, uv, m1, mode)
-    return a * (1 - f) + b * f
-
-
-def compute_lod(uv: jnp.ndarray, tex: jnp.ndarray = None,
-                pool: TexturePool = None) -> jnp.ndarray:
-    """Screen-space mip selection from finite differences of a (H, W, 2) uv
-    image — the software analogue of pixel-quad derivatives. Edges reuse
-    their neighbor's derivative (like HW helper lanes). With the uniform
-    pool every texture is POOL_SIZE^2, so no per-pixel dims lookup."""
-    st = uv * float(POOL_SIZE)
-    dx = jnp.diff(st, axis=1, append=st[:, -1:, :])
-    dx = dx.at[:, -1, :].set(dx[:, -2, :])
-    dy = jnp.diff(st, axis=0, append=st[-1:, :, :])
-    dy = dy.at[-1, :, :].set(dy[-2, :, :])
-    rho = jnp.maximum(
-        jnp.sqrt((dx * dx).sum(-1)), jnp.sqrt((dy * dy).sum(-1))
-    )
-    return jnp.log2(jnp.maximum(rho, 1e-8))
 
 
 # ---------------------------------------------------------------------------
@@ -283,7 +148,7 @@ def _parent_quads(parent_level: np.ndarray, child_size: int,
 
 def _resample_chain(mips, size: int, levels: int):
     """Resample a mip chain so level 0 is (size, size); regenerate the
-    chain down to 1x1 by box filtering (same logic as TexturePool.build)."""
+    chain down to 1x1 by box filtering."""
     from ..io.dds import generate_mips
 
     img = mips[0]
@@ -323,8 +188,8 @@ def _quad_pack_wrap(m: np.ndarray) -> np.ndarray:
 
 
 def _pair_row_offset(pool: PairPool, pair, mip_b, mip_s):
-    """Flat row index of (pair, mip) chain starts (same analytic two-class
-    addressing as TexturePool)."""
+    """Flat row index of (pair, mip) chain starts (analytic two-class
+    addressing: big pairs first, then small; no metadata gathers)."""
     is_big = pair < pool.n_big
     small_base = pool.n_big * TEX_STRIDE
     return jnp.where(

@@ -83,12 +83,12 @@ def test_quad_pool_bilinear_matches_reference():
     S = sampling.POOL_SIZE
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (S, S, 4), dtype=np.uint8)
-    pool = sampling.TexturePool.build([[img]])
+    pool = sampling.PairPool.build([([img], [img])], n_big=1)
     n = 64
     uv = jnp.asarray(rng.uniform(-0.3, 1.3, (n, 2)).astype(np.float32))
     tex = jnp.zeros(n, jnp.int32)
     mip = jnp.zeros(n, jnp.int32)
-    got = np.asarray(sampling.sample_bilinear(pool, tex, uv, mip))
+    got = np.asarray(sampling.sample_pair_bilinear(pool, tex, uv, mip)[0])
 
     # naive reference
     f = img.astype(np.float32) / 255.0

@@ -165,11 +165,8 @@ def main(argv=None):
 
     scene, cfg, lights = CONFIGS[args.config]()
     if args.fast:
-        # documented performance preset (PERF.md): half-res PCF factor,
-        # quarter-res SSAO, 2-probe anisotropy — local, bounded image
-        # deltas for ~1.5x frame speed
-        cfg = dataclasses.replace(cfg, fast_shadow_factor=True,
-                                  ssao_scale=4, anisotropy=1)
+        # documented performance preset (quantified in PERF.md)
+        cfg = cfg.fast_preset()
     if args.res != "native":
         h = 1080 if args.res == "1080p" else 720
         w = h * 16 // 9

@@ -100,6 +100,16 @@ class RenderConfig:
     def ssao_width(self):
         return self.width // self.ssao_scale
 
+    def fast_preset(self) -> "RenderConfig":
+        """The documented --fast performance preset (PERF.md): half-res
+        PCF factor + bilinear upsample, quarter-res SSAO, and trilinear
+        texturing (one dual-mip gather instead of per-probe anisotropy).
+        Quality vs parity is quantified in PERF.md (PSNR/SSIM, committed
+        fast golden in tests/goldens/). ONE definition — the viewer,
+        bench_all and the gallery all call this."""
+        return dataclasses.replace(self, fast_shadow_factor=True,
+                                   ssao_scale=4, anisotropy=1)
+
     @property
     def ssao_height(self):
         return self.height // self.ssao_scale

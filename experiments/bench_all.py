@@ -12,8 +12,7 @@ def run(cfg_fn, fast=False):
 
     scene, cfg, lights = cfg_fn()
     if fast:
-        cfg = dataclasses.replace(cfg, fast_shadow_factor=True,
-                                  ssao_scale=4, aniso_probes=2)
+        cfg = cfg.fast_preset()
     r = Renderer(scene, cfg, lights=lights)
     img = r.render(0.0)
     _ = float(img[0, 0, 0])

@@ -17,6 +17,7 @@ cascades j and j+1.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..models.cascades import CASCADE_RADII
@@ -257,12 +258,20 @@ def quad_from_packed(p):
     return _quad_rows_from_u16(qi)
 
 
-def pcf_single_tap(qrows, cascade, shadow_pos, smap_size: int):
+def pcf_single_tap(qrows, cascade, shadow_pos, smap_size: int,
+                   spread_mask=None):
     """One bilinear comparison tap from 8-byte quad rows — the compiled
     reference's ENTIRE Poisson PCF (radius 0, compiled_poisson_radius_uv):
     bit-identical to poisson_pcf_windowed(..., soft_radius_texels=None)
     for in-map receivers, and EXACT for the black border (the windowed
-    path clamps there). ONE row gather per pixel."""
+    path clamps there). ONE row gather per pixel.
+
+    spread_mask: receivers whose factor is DISCARDED downstream (sky
+    pixels, and dist>=100 no-shadow pixels whose factor is forced to 1) —
+    their extrapolated projections either pile onto the clamped border
+    quads (gather hot-row serialization) or scatter across the map at
+    full gather price. Substitute a compact in-map window for the tap
+    INDEX only; live receivers are bit-identical."""
     S = smap_size
     P = S + 2
     inv_w = 1.0 / jnp.maximum(shadow_pos[..., 3], 1e-20)
@@ -276,6 +285,11 @@ def pcf_single_tap(qrows, cascade, shadow_pos, smap_size: int):
     fy = cy - y0.astype(jnp.float32)
     xq = jnp.clip(x0 + 1, 0, P - 1)
     yq = jnp.clip(y0 + 1, 0, P - 1)
+    if spread_mask is not None and xq.ndim >= 2:
+        iy = jax.lax.broadcasted_iota(jnp.int32, xq.shape, xq.ndim - 2)
+        ix = jax.lax.broadcasted_iota(jnp.int32, xq.shape, xq.ndim - 1)
+        xq = jnp.where(spread_mask, ix % 32 + 1, xq)
+        yq = jnp.where(spread_mask, iy % 32 + 1, yq)
     row = qrows[(cascade * P + yq) * P + xq]  # (..., 2) u32 — ONE gather
     dq = depth * 65535.0 - 0.5
     c00 = (dq <= (row[..., 0] & 0xFFFF).astype(jnp.float32)).astype(
@@ -445,7 +459,7 @@ def poisson_pcf_windowed(shadow_maps, cascade, shadow_pos, smap_size: int,
 
 def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
                           smap_size: int, deferred_blend_quirk: bool,
-                          soft_radius_texels: float = None):
+                          soft_radius_texels: float = None, dead=None):
     """Per-pixel cascade select + PCF + blend.
 
     shadow_maps: (4, S, S) depth; shadow_transforms: (4, 4, 4) row-vector
@@ -490,6 +504,11 @@ def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
                 return quad_from_packed(maps)
             return quad_maps_u16(maps)
 
+        # taps whose factor is discarded: no_shadow receivers are forced
+        # to 1.0 below, and `dead` (sky) receivers' lighting is replaced
+        # by the sky pass — spread their gathers over a compact window
+        # (bit-exact; see pcf_single_tap docstring)
+        spread = no_shadow if dead is None else (no_shadow | dead)
         if shadow_maps.shape[0] == 4:
             # cascade-PARITY table split (see the superwindow branch)
             q_e = quads_of(shadow_maps[0::2])
@@ -498,22 +517,30 @@ def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
             ce = jnp.where(even, c, jnp.minimum(c + 1, 2))
             co = jnp.where(even, c + 1, c)
             f_e = pcf_single_tap(q_e, ce >> 1, shadow_pos_for(ce),
-                                 smap_size)
+                                 smap_size, spread_mask=spread)
             f_o = pcf_single_tap(q_o, co >> 1, shadow_pos_for(co),
-                                 smap_size)
+                                 smap_size, spread_mask=spread)
             f_c = jnp.where(even, f_e, f_o)
             f_n = jnp.where(even, f_o, f_e)
         else:
             q = quads_of(shadow_maps)
             c_next = jnp.minimum(c + 1, 3)
-            f_c = pcf_single_tap(q, c, shadow_pos_for(c), smap_size)
+            f_c = pcf_single_tap(q, c, shadow_pos_for(c), smap_size,
+                                 spread_mask=spread)
             f_n = pcf_single_tap(q, c_next, shadow_pos_for(c_next),
-                                 smap_size)
+                                 smap_size, spread_mask=spread)
         if deferred_blend_quirk:
             blend = c < 3
         else:
             blend = (c < 3) & (jnp.abs(dist - radii[c]) < 10.0)
         factor = jnp.where(blend, 0.5 * (f_c + f_n), f_c)
+        if dead is not None:
+            # deterministic value for discarded receivers: at parity the
+            # sky pass overwrites them; in the half-res fast path their
+            # value leaks into silhouette pixels through the bilinear
+            # upsample, and 1.0 (unshadowed) beats the extrapolated
+            # garbage projection it replaces
+            factor = jnp.where(dead, 1.0, factor)
         return jnp.where(no_shadow, 1.0, factor)
 
     def swin_of(maps):

@@ -506,7 +506,7 @@ def _band_ssao(scene: fr.DeviceScene, consts: fr.FrameConstants,
 
 def _band_fast_shadow_factor(scene: fr.DeviceScene,
                              consts: fr.FrameConstants, cfg: RenderConfig,
-                             pos_w, shadow_maps, comm: _Comm,
+                             pos_w, valid, shadow_maps, comm: _Comm,
                              d, band_h: int):
     """Band-exact fast-preset PCF: evaluate the half-res factor on the
     band's GLOBAL-phase rows (band_h is even by construction), all_gather,
@@ -515,7 +515,8 @@ def _band_fast_shadow_factor(scene: fr.DeviceScene,
         shadow_maps, consts.shadow_transforms, pos_w[::2, ::2],
         consts.eye_pos, cfg.shadow_map_size,
         deferred_blend_quirk=cfg.deferred,
-        soft_radius_texels=cfg.pcf_radius_texels)
+        soft_radius_texels=cfg.pcf_radius_texels,
+        dead=~valid[::2, ::2])
     n_dev = comm.n_dev
     bh2 = band_h // 2
     sf_all = comm.all_gather(sf_local).reshape(
@@ -617,7 +618,8 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
     sf = None
     if cfg.shadows_enabled and cfg.fast_shadow_factor:
         sf = _band_fast_shadow_factor(scene, consts, cfg, g["pos_w"],
-                                      shadow_maps, comm, d, band_h)
+                                      g["valid"], shadow_maps, comm, d,
+                                      band_h)
 
     img = fr.lighting_pass(scene, consts, band_cfg, g, shadow_maps,
                            ambient_access, depth,

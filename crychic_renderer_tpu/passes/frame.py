@@ -572,6 +572,25 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
     is_last = (grow == full_height - 1)[:, None, None]
     uv_prev = jnp.concatenate([pix_uv[:1], pix_uv[:-1]], axis=0)
     duv_y = jnp.where(is_last, pix_uv - uv_prev, duv_y)
+    # Dead-pixel TEXTURE probe spread: invalid (sky) pixels' record-0
+    # extrapolated uv scatters their texture gathers across the whole
+    # pool at full gather price, yet their sampled colors are never used
+    # (the frame composition overwrites invalid pixels with the sky).
+    # Substitute a compact ~1024-quad window at mip 0 for the SAMPLER
+    # INPUT only — AFTER the derivatives were taken from the original uv
+    # field, so every valid pixel's uv, duv and probes are bit-identical
+    # (same trick as _DEAD_SPREAD for the record gather; measured in
+    # experiments/resolve_decomp5.py).
+    dead3 = ~valid[..., None]
+    iy = jnp.arange(H, dtype=jnp.int32)[:, None]
+    ix = jnp.arange(W, dtype=jnp.int32)[None, :]
+    u_d = ((ix % 32).astype(jnp.float32) + 0.5) / 512.0
+    v_d = ((iy % 32).astype(jnp.float32) + 0.5) / 512.0
+    uv_dead = jnp.stack([jnp.broadcast_to(u_d, (H, W)),
+                         jnp.broadcast_to(v_d, (H, W))], axis=-1)
+    samp_uv = jnp.where(dead3, uv_dead, pix_uv)
+    duv_x = jnp.where(dead3, 0.0, duv_x)
+    duv_y = jnp.where(dead3, 0.0, duv_y)
     if cfg.anisotropy > 1:
         if cfg.aniso_probes == 0:
             # reference-quality evaluation (max_aniso exact-trilinear
@@ -579,15 +598,15 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
             # production schedules are quantified against
             # (experiments/aniso_quality.py); never the frame default
             diffuse_sample, normal_sample = sampling.sample_pair_aniso_ref(
-                pool, pairidx, pix_uv, duv_x, duv_y, cfg.anisotropy)
+                pool, pairidx, samp_uv, duv_x, duv_y, cfg.anisotropy)
         else:
             diffuse_sample, normal_sample = sampling.sample_pair_aniso(
-                pool, pairidx, pix_uv, duv_x, duv_y, cfg.anisotropy,
+                pool, pairidx, samp_uv, duv_x, duv_y, cfg.anisotropy,
                 probes=cfg.aniso_probes)
     else:
         lod_uv = sampling.lod_from_derivatives(duv_x, duv_y)
         diffuse_sample, normal_sample = sampling.sample_pair_trilinear(
-            pool, pairidx, pix_uv, lod_uv)
+            pool, pairidx, samp_uv, lod_uv)
 
     albedo = _mat_select(scene.mat_albedo, mat) * diffuse_sample
     unit_n = shading.normalize(pix_nrm_w)
@@ -706,13 +725,15 @@ def lighting_pass(scene: DeviceScene, consts: FrameConstants,
                 shadow_maps, consts.shadow_transforms,
                 pos_w[::2, ::2], consts.eye_pos,
                 cfg.shadow_map_size, deferred_blend_quirk=cfg.deferred,
-                soft_radius_texels=cfg.pcf_radius_texels)
+                soft_radius_texels=cfg.pcf_radius_texels,
+                dead=~g["valid"][::2, ::2])
             sf = _upsample_bilinear(sf_half, H, W)
         else:
             sf = shadows.cascade_shadow_factor(
                 shadow_maps, consts.shadow_transforms, pos_w, consts.eye_pos,
                 cfg.shadow_map_size, deferred_blend_quirk=cfg.deferred,
-                soft_radius_texels=cfg.pcf_radius_texels)
+                soft_radius_texels=cfg.pcf_radius_texels,
+                dead=~g["valid"])
         sf = sf[..., None]
     else:
         sf = jnp.ones_like(roughness)

@@ -262,6 +262,16 @@ class Renderer:
 
         kw = dict(pair_capacity=size(req["main_pairs"]),
                   shadow_pair_capacity=size(req["shadow_pairs"]))
+        # tile-compacted shading: capacity in occupied (8, 128) shade
+        # tiles, 1.5x pose headroom rounded to 64 (the compiled shape
+        # scales gather rows linearly, so tight is fast); capped at the
+        # full tile grid, where the compacted path would only add its
+        # (tiny) compaction overhead to a full-screen resolve
+        nt_full = (-(-self.cfg.height // fr.SHADE_TILE_H)
+                   * -(-self.cfg.width // fr.SHADE_TILE_W))
+        cb = min(nt_full, max(64, -(-int(req["shade_tiles"] * 1.5)
+                                    // 64) * 64))
+        kw["shade_tile_capacity"] = cb
         if not self.cfg.use_pallas:
             # the XLA path truncates per-tile runs at bin_cap — size BOTH
             # the main and the shadow caps (an undersized shadow_bin_cap
@@ -327,6 +337,12 @@ class Renderer:
             raise RuntimeError(
                 f"shadow tile overflow: {req['shadow_max_tile']} triangles "
                 f"in one tile > shadow_bin_cap {self.cfg.shadow_bin_cap}")
+        if (self.cfg.shade_tile_capacity
+                and req["shade_tiles"] > self.cfg.shade_tile_capacity):
+            raise RuntimeError(
+                f"shade tile overflow: {req['shade_tiles']} occupied tiles "
+                f"> shade_tile_capacity {self.cfg.shade_tile_capacity}; "
+                f"re-run _autosize_capacity")
         return req
 
     def _default_camera(self):

@@ -87,6 +87,16 @@ class RenderConfig:
     fast_shadow_factor: bool = False
     # SSAO resolution divisor (2 = the reference's half-res)
     ssao_scale: int = 2
+    # Tile-compacted shading: per-pixel resolve gathers (records + texture
+    # probes) are issued only for (8, 128) pixel tiles containing at least
+    # one covered pixel. The TPU gather engine pays ~9 ns per ISSUED row
+    # regardless of index locality, so sparsely covered frames (config 2:
+    # a skull on sky) waste most of their resolve cost on discarded sky
+    # rows; compaction removes them (passes.frame._resolve_compacted).
+    # None = full-screen resolve; Renderer autosizing sets this from the
+    # exact occupied-tile bound with the same check_capacity guard as the
+    # pair capacities.
+    shade_tile_capacity: int = None
     # Multi-chip band binning capacities (pairs per DEVICE band). None =
     # the full-frame capacities (always safe). Pair counts are heavily
     # skewed across bands — the horizon band of the cascade scene holds

@@ -277,8 +277,13 @@ def sample_pair_dual(pool: PairPool, pair: jnp.ndarray, uv: jnp.ndarray,
     n0 = _bilerp_quad(row[..., 4:8], fx, fy)
     fx1 = 0.5 * fx - 0.25 + 0.5 * (xa & 1).astype(jnp.float32)[..., None]
     fy1 = 0.5 * fy - 0.25 + 0.5 * (ya & 1).astype(jnp.float32)[..., None]
-    d1 = _bilerp_quad(row[..., 8:12], fx1, fy1)
-    n1 = _bilerp_quad(row[..., 12:16], fx1, fy1)
+    # the parent-quad extrapolation (fx1/fy1 in [-0.25, 0)) can leave
+    # [0, 1] by a hair; the TRUE bilinear of UNORM texels never does, so
+    # clamping strictly reduces the (bounded) extrapolation error — and
+    # keeps consumers like Default.hlsl's shininess = (1-rough)*alpha from
+    # seeing a negative alpha (pow(0, negative) = inf -> NaN pixels)
+    d1 = jnp.clip(_bilerp_quad(row[..., 8:12], fx1, fy1), 0.0, 1.0)
+    n1 = jnp.clip(_bilerp_quad(row[..., 12:16], fx1, fy1), 0.0, 1.0)
     fb = f[..., None]
     return d0 * (1 - fb) + d1 * fb, n0 * (1 - fb) + n1 * fb
 

@@ -563,7 +563,11 @@ def _band_render(scene: fr.DeviceScene, consts: fr.FrameConstants,
     tile_h = rp.TILE_H if cfg.use_pallas else rz.TILE_H
     nty = -(-H_pad // tile_h)
     rpd = -(-nty // n_dev)
-    band_cfg = dataclasses.replace(cfg, height=band_h)
+    # bands keep the full-screen resolve: each band's tile occupancy is
+    # pose-dependent per device, and the band split already divides the
+    # gather rows n_dev ways (tile compaction composes later if needed)
+    band_cfg = dataclasses.replace(cfg, height=band_h,
+                                   shade_tile_capacity=None)
     cap = _main_band_cap(cfg)
     if cfg.use_pallas:
         dpart, tpart = rp.rasterize_pallas(tris, W, H_pad, cap,

@@ -479,34 +479,17 @@ def build_tri_attrs(draw: DeviceDraw, pos_w, nrm_w, tan_w, uv, clip):
     return vrec[tri_idx]  # (T, 3, 16) row gathers
 
 
-def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
-                    cfg: RenderConfig, tris: rz.ScreenTris,
-                    depth: jnp.ndarray, tid: jnp.ndarray,
-                    tri_attr: jnp.ndarray, row_offset=0.0,
-                    full_height: int = None, out_rows: int = None):
-    """Gather the winning triangle's vertex data per pixel and build the
-    G-buffer (GeometryPass.hlsl PS + GBuffer.hlsl encode, fused with the
-    DrawNormals.hlsl view-space-normal output).
+def _build_resolve_records(tris: rz.ScreenTris, tri_attr: jnp.ndarray):
+    """The 64-wide per-TRIANGLE resolve record table + dead-spread rows.
 
-    tri_attr: (T, 3, 16) post-clip per-triangle vertex records (see
-    build_tri_attrs; indices 4:15 are posW/nrm/tan/uv, 15 is material).
-
-    Returns dict with posW (H,W,3), normalW bumped (H,W,3), normalV view
-    (H,W,3), albedo (H,W,4), roughness, metalness (H,W,1), valid (H,W).
-
-    Band rendering (parallel.sharded): depth/tid may carry ONE halo row
-    below the band (so uv derivatives at the band seam see the real next
-    row); row_offset is the band's global first row, full_height the full
-    image height, and out_rows trims the halo off every output.
-    """
-    H, W = depth.shape
-    if full_height is None:
-        full_height = H
-    valid = tid >= 0
-
-    # Everything a pixel needs packed into ONE 64-wide per-TRIANGLE record
-    # (screen xy + 1/w + 3 vertices' attrs + material): a single row
-    # gather per pixel (TPU gather latency is per row).
+    Everything a pixel needs packed into ONE row (screen xy + 1/w + 3
+    vertices' attrs + material): a single row gather per pixel (TPU
+    gather latency is per row). Hot-row fix: tid < 0 (sky — 48% of
+    config 5's pixels) used to clamp to row 0, and the TPU gather engine
+    serializes on a hot row (measured ~8 ms/frame of contention,
+    experiments/hot_row_probe.py). Append _DEAD_SPREAD copies of row 0
+    and fan invalid pixels across them — gathered VALUES are identical,
+    so this is bit-exact."""
     a = tri_attr[:, :, 4:]  # (T, 3, 12): posW3 nrm3 tan3 uv2 mat1
     rec = jnp.concatenate([
         tris.xy.reshape(-1, 6), tris.inv_w,             # 0:9
@@ -517,27 +500,26 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
         a[:, 0, 11:12],                                 # 42 material
     ], axis=-1)
     rec = jnp.pad(rec, ((0, 0), (0, 64 - rec.shape[1])))
-    # Hot-row fix: tid < 0 (sky — 48% of config 5's pixels) used to clamp
-    # to row 0, and the TPU gather engine serializes on a hot row
-    # (measured ~8 ms/frame of contention, experiments/hot_row_probe.py).
-    # Append _DEAD_SPREAD copies of row 0 and fan invalid pixels across
-    # them — gathered VALUES are identical, so this is bit-exact.
     T = rec.shape[0]
     rec = jnp.concatenate([rec, jnp.tile(rec[0:1], (_DEAD_SPREAD, 1))])
-    pix = (jnp.arange(H, dtype=jnp.int32)[:, None] * W
-           + jnp.arange(W, dtype=jnp.int32)[None, :])
+    return rec, T
+
+
+def _resolve_core(scene: DeviceScene, consts: FrameConstants,
+                  cfg: RenderConfig, rec, T: int, tid, px, py, pix):
+    """The per-pixel resolve: record gather -> perspective barycentric
+    interpolation -> per-primitive uv derivatives -> texture sampling ->
+    G-buffer planes. Shape-generic: tid/px/py/pix may be full-screen
+    (H, W) grids OR tile-compacted (CB, 1024) lane blocks — every op here
+    is per-pixel math or a flat-index gather."""
+    valid = tid >= 0
     safe_tid = jnp.where(valid, jnp.maximum(tid, 0),
                          T + pix % _DEAD_SPREAD)
-    r = rec[safe_tid]  # (H, W, 64) — the one per-pixel gather
+    r = rec[safe_tid]  # (..., 64) — the one per-pixel gather
 
-    xy = r[..., :6].reshape(H, W, 3, 2)
+    xy = r[..., :6].reshape(r.shape[:-1] + (3, 2))
     inv_w = r[..., 6:9]
-    # row_offset: band rendering (parallel.sharded) evaluates barycentrics
-    # at GLOBAL pixel rows so band output is bit-identical to single-chip
-    px = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :].repeat(H, 0)
-    py = (jnp.arange(H, dtype=jnp.float32) + row_offset
-          + 0.5)[:, None].repeat(W, 1)
-    b = rz.barycentrics_at(xy, px, py)  # (H, W, 3) screen-space
+    b = rz.barycentrics_at(xy, px, py)  # (..., 3) screen-space
     wgt = b * inv_w
     den = wgt.sum(-1, keepdims=True)
     # sign-preserving guard: extrapolated barycentrics (a pixel whose
@@ -558,36 +540,42 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
     pix_nrm_w = lerp3(18, 3)
     pix_tan_w = lerp3(27, 3)
     pix_uv = lerp3(36, 2)
-    mat = r[..., 42].astype(jnp.int32)  # (H, W)
+    mat = r[..., 42].astype(jnp.int32)
 
     # Texture fetch: ONE pair pool serves diffuse + normal (the reference
     # samples both with gsamAnisotropicWrap, GeometryPass.hlsl:52-55).
     pool = scene.pair_pool
     pairidx = _mat_select(scene.mat_pair, mat)
-    duv_x, duv_y = sampling.uv_derivatives(pix_uv)
-    # the last IMAGE row uses the backward difference (identical numbers to
-    # uv_derivatives' copy-previous edge rule when H == full_height; with a
-    # band halo row it overrides the halo's contribution for the last band)
-    grow = jnp.asarray(row_offset, jnp.int32) + jnp.arange(H, dtype=jnp.int32)
-    is_last = (grow == full_height - 1)[:, None, None]
-    uv_prev = jnp.concatenate([pix_uv[:1], pix_uv[:-1]], axis=0)
-    duv_y = jnp.where(is_last, pix_uv - uv_prev, duv_y)
+    # Per-PRIMITIVE uv derivatives: evaluate THIS pixel's triangle at
+    # (x+1, y) and (x, y+1) and difference — exactly D3D12's helper-lane
+    # semantics (a 2x2 quad's out-of-coverage lanes execute the SAME
+    # primitive, so ddx/ddy never mix triangles; the previous resolved-
+    # field finite difference mixed neighbor triangles at silhouettes and
+    # needed a cross-band halo row + last-row special case). Pure
+    # per-pixel math — no neighbor reads — which is also what makes
+    # tile-compacted shading (shade_tile_capacity) possible.
+    def uv_at(px_, py_):
+        b2 = rz.barycentrics_at(xy, px_, py_)
+        w = b2 * inv_w
+        den2 = w.sum(-1, keepdims=True)
+        w = w / jnp.where(jnp.abs(den2) < 1e-20, 1e-20, den2)
+        return (w[..., 0:1] * r[..., 36:38] + w[..., 1:2] * r[..., 38:40]
+                + w[..., 2:3] * r[..., 40:42])
+
+    duv_x = uv_at(px + 1.0, py) - pix_uv
+    duv_y = uv_at(px, py + 1.0) - pix_uv
     # Dead-pixel TEXTURE probe spread: invalid (sky) pixels' record-0
     # extrapolated uv scatters their texture gathers across the whole
-    # pool at full gather price, yet their sampled colors are never used
-    # (the frame composition overwrites invalid pixels with the sky).
-    # Substitute a compact ~1024-quad window at mip 0 for the SAMPLER
-    # INPUT only — AFTER the derivatives were taken from the original uv
-    # field, so every valid pixel's uv, duv and probes are bit-identical
-    # (same trick as _DEAD_SPREAD for the record gather; measured in
-    # experiments/resolve_decomp5.py).
+    # pool even though their sampled colors are never used (the frame
+    # composition overwrites invalid pixels with the sky). Substitute a
+    # compact ~1024-quad window at mip 0 for the SAMPLER INPUT only —
+    # valid pixels' uv, duv and probes are bit-identical.
     dead3 = ~valid[..., None]
-    iy = jnp.arange(H, dtype=jnp.int32)[:, None]
-    ix = jnp.arange(W, dtype=jnp.int32)[None, :]
-    u_d = ((ix % 32).astype(jnp.float32) + 0.5) / 512.0
-    v_d = ((iy % 32).astype(jnp.float32) + 0.5) / 512.0
-    uv_dead = jnp.stack([jnp.broadcast_to(u_d, (H, W)),
-                         jnp.broadcast_to(v_d, (H, W))], axis=-1)
+    ix = px.astype(jnp.int32)
+    iy = py.astype(jnp.int32)
+    uv_dead = jnp.stack([((ix % 32).astype(jnp.float32) + 0.5) / 512.0,
+                         ((iy % 32).astype(jnp.float32) + 0.5) / 512.0],
+                        axis=-1)
     samp_uv = jnp.where(dead3, uv_dead, pix_uv)
     duv_x = jnp.where(dead3, 0.0, duv_x)
     duv_y = jnp.where(dead3, 0.0, duv_y)
@@ -616,16 +604,156 @@ def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
     # DrawNormals.hlsl:91: view-space normal from the UNBUMPED vertex normal
     normal_v = shading.rowmat(unit_n, consts.view[:3, :3])
 
-    g = dict(
-        pos_w=pix_pos_w,
-        normal_w=bumped_n,
-        normal_v=normal_v,
-        albedo=albedo,
-        roughness=_mat_select(scene.mat_roughness, mat)[..., None],
-        metalness=_mat_select(scene.mat_metalness, mat)[..., None],
-        shininess_alpha=normal_sample[..., 3:4],  # normal map alpha
+    # Uncovered pixels carry the reference's CLEAR values, exactly as its
+    # render targets do: the normal map clears to view-space (0,0,1,0)
+    # (CRYCHIC.cpp:2525 — what the SSAO pass sees for sky pixels) and the
+    # G-buffer RTVs clear to black (CRYCHIC.cpp:2554). Previously these
+    # pixels carried triangle-0's extrapolated attributes — a parity
+    # deviation visible wherever SSAO's bilateral blur mixes silhouette
+    # neighbors — and clear fills are also what lets tile-compacted
+    # shading skip uncovered tiles entirely.
+    v1 = valid[..., None]
+    sky_n_v = jnp.zeros_like(normal_v).at[..., 2].set(1.0)
+    return dict(
+        pos_w=jnp.where(v1, pix_pos_w, 0.0),
+        normal_w=jnp.where(v1, bumped_n, 0.0),
+        normal_v=jnp.where(v1, normal_v, sky_n_v),
+        albedo=jnp.where(v1, albedo, 0.0),
+        roughness=jnp.where(
+            v1, _mat_select(scene.mat_roughness, mat)[..., None], 0.0),
+        metalness=jnp.where(
+            v1, _mat_select(scene.mat_metalness, mat)[..., None], 0.0),
+        shininess_alpha=jnp.where(v1, normal_sample[..., 3:4], 0.0),
         valid=valid,
     )
+
+
+# G-buffer clear values per plane (the reference's RTV clears; see
+# _resolve_core). Skipped tiles in the compacted path scatter-fill these.
+_G_CLEAR = dict(pos_w=(0.0, 0.0, 0.0), normal_w=(0.0, 0.0, 0.0),
+                normal_v=(0.0, 0.0, 1.0), albedo=(0.0,) * 4,
+                roughness=(0.0,), metalness=(0.0,),
+                shininess_alpha=(0.0,))
+
+# compacted shade-tile geometry (matches the Mosaic (8, 128) layout unit)
+SHADE_TILE_H = 8
+SHADE_TILE_W = 128
+
+
+def _resolve_compacted(scene: DeviceScene, consts: FrameConstants,
+                       cfg: RenderConfig, rec, T: int, tid,
+                       H: int, W: int, row_offset):
+    """Tile-compacted resolve: gathers are issued ONLY for (8, 128) pixel
+    tiles containing at least one covered pixel.
+
+    The TPU gather engine pays its per-ROW issue cost regardless of
+    index locality (measured: a full-screen gather costs ~9 ns/row even
+    when most rows are the dead-spread window), so sparsely covered
+    frames (config 2: a skull on sky pays ~43 ms of resolve for ~12%
+    coverage) can only get cheaper by ISSUING FEWER ROWS. Compaction is
+    static-shape: a cumsum over the ~2k tile-occupancy bits, one CB-row
+    gather in, and one NT-row gather + one packed transpose out (all
+    O(tiles), trivial next to the 2M per-pixel rows they remove; scatter
+    was measured ~10x slower than the inverse gather here). cfg.
+    shade_tile_capacity (CB) is autosized like the pair capacities, with
+    the same check_capacity guard."""
+    TS_H, TS_W = SHADE_TILE_H, SHADE_TILE_W
+    Hp = -(-H // TS_H) * TS_H
+    Wp = -(-W // TS_W) * TS_W
+    tpad = jnp.pad(tid, ((0, Hp - H), (0, Wp - W)), constant_values=-1)
+    nty, ntx = Hp // TS_H, Wp // TS_W
+    NT = nty * ntx
+    LANES = TS_H * TS_W
+    tiles = tpad.reshape(nty, TS_H, ntx, TS_W).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(NT, LANES)
+    tv = (tiles >= 0).any(axis=1)
+    CB = min(int(cfg.shade_tile_capacity), NT)
+    pos = jnp.cumsum(tv.astype(jnp.int32)) - 1
+    kept = jnp.full((CB,), NT, jnp.int32)
+    kept = kept.at[jnp.where(tv, pos, CB)].set(
+        jnp.arange(NT, dtype=jnp.int32), mode="drop")
+    tiles_s = jnp.concatenate(
+        [tiles, jnp.full((1, LANES), -1, tiles.dtype)])
+    tid_c = tiles_s[kept]  # (CB, LANES); sentinel slots all -1 (dead)
+    lane = jnp.arange(LANES, dtype=jnp.int32)[None, :]
+    x = (kept[:, None] % ntx) * TS_W + lane % TS_W
+    y = (jnp.minimum(kept[:, None] // ntx, nty - 1) * TS_H
+         + lane // TS_W)
+    px = x.astype(jnp.float32) + 0.5
+    py = y.astype(jnp.float32) + row_offset + 0.5
+    pix = y * W + x  # only feeds the dead spread (% _DEAD_SPREAD)
+
+    g = _resolve_core(scene, consts, cfg, rec, T, tid_c, px, py, pix)
+
+    # Expansion back to full-res: GATHER-based inverse (XLA scatter on
+    # TPU lowered ~10x slower than the equivalent gather here — the
+    # first cut scattered 7 planes and cost +35 ms at 1080p), and ONE
+    # packed 16-channel transpose instead of one per plane.
+    names = ["pos_w", "normal_w", "normal_v", "albedo", "roughness",
+             "metalness", "shininess_alpha"]
+    packed = jnp.concatenate([g[n] for n in names], axis=-1)  # (CB,L,16)
+    fill = jnp.concatenate(
+        [jnp.asarray(_G_CLEAR[n], packed.dtype) for n in names])
+    packed = jnp.concatenate(
+        [packed, jnp.broadcast_to(fill, (1, LANES, fill.shape[0]))])
+    # overflow tiles (pos >= CB — guarded by check_capacity) fall back to
+    # the clear fill rather than aliasing another tile's slot
+    inv = jnp.where(tv & (pos < CB), pos, CB)  # (NT,) slot per tile
+    out = packed[inv]  # (NT, LANES, 16) — NT-row gather
+    out = out.reshape(nty, ntx, TS_H, TS_W, -1)
+    out = out.transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, -1)[:H, :W]
+    full, o = {}, 0
+    for n in names:
+        k = g[n].shape[-1]
+        full[n] = out[..., o:o + k]
+        o += k
+    full["valid"] = tid >= 0
+    return full
+
+
+def resolve_gbuffer(scene: DeviceScene, consts: FrameConstants,
+                    cfg: RenderConfig, tris: rz.ScreenTris,
+                    depth: jnp.ndarray, tid: jnp.ndarray,
+                    tri_attr: jnp.ndarray, row_offset=0.0,
+                    full_height: int = None, out_rows: int = None):
+    """Gather the winning triangle's vertex data per pixel and build the
+    G-buffer (GeometryPass.hlsl PS + GBuffer.hlsl encode, fused with the
+    DrawNormals.hlsl view-space-normal output).
+
+    tri_attr: (T, 3, 16) post-clip per-triangle vertex records (see
+    build_tri_attrs; indices 4:15 are posW/nrm/tan/uv, 15 is material).
+
+    Returns dict with posW (H,W,3), normalW bumped (H,W,3), normalV view
+    (H,W,3), albedo (H,W,4), roughness, metalness (H,W,1), valid (H,W).
+    Uncovered pixels carry the reference's render-target clear values
+    (see _resolve_core).
+
+    cfg.shade_tile_capacity switches to the tile-compacted path
+    (_resolve_compacted): per-pixel gathers are issued only for occupied
+    (8, 128) tiles — identical output, sized by Renderer autosizing.
+
+    Band rendering (parallel.sharded): depth/tid may carry ONE halo row
+    below the band; row_offset is the band's global first row,
+    full_height the full image height, and out_rows trims the halo off
+    every output (derivatives are per-primitive, so the halo row is no
+    longer load-bearing; the plumbing is kept for the band shape
+    contract)."""
+    H, W = depth.shape
+    if full_height is None:
+        full_height = H
+    rec, T = _build_resolve_records(tris, tri_attr)
+    if cfg.shade_tile_capacity:
+        g = _resolve_compacted(scene, consts, cfg, rec, T, tid, H, W,
+                               row_offset)
+    else:
+        pix = (jnp.arange(H, dtype=jnp.int32)[:, None] * W
+               + jnp.arange(W, dtype=jnp.int32)[None, :])
+        # row_offset: band rendering evaluates barycentrics at GLOBAL
+        # pixel rows so band output is bit-identical to single-chip
+        px = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :].repeat(H, 0)
+        py = (jnp.arange(H, dtype=jnp.float32) + row_offset
+              + 0.5)[:, None].repeat(W, 1)
+        g = _resolve_core(scene, consts, cfg, rec, T, tid, px, py, pix)
     if out_rows is not None and out_rows != H:
         g = {k: v[:out_rows] for k, v in g.items()}
     return g
@@ -1021,7 +1149,7 @@ def capacity_requirements(scene: DeviceScene, consts: FrameConstants,
     quantities pair_capacity/shadow_pair_capacity must exceed, else the
     rasterizer silently drops geometry. Cheap (dense per-triangle math,
     no pair expansion); jit and read two scalars."""
-    def max_tile_count(tx0, ty0, bw, bh, ntx, nty):
+    def tile_counts(tx0, ty0, bw, bh, ntx, nty):
         # exact per-tile counts without pair expansion: rectangle scatter
         # by inclusion-exclusion + 2D cumsum (the XLA path truncates each
         # tile's run at bin_cap, so the max matters)
@@ -1031,8 +1159,10 @@ def capacity_requirements(scene: DeviceScene, consts: FrameConstants,
         img = img.at[ty0, tx0 + bw].add(-one, mode="drop")
         img = img.at[ty0 + bh, tx0].add(-one, mode="drop")
         img = img.at[ty0 + bh, tx0 + bw].add(one, mode="drop")
-        counts = jnp.cumsum(jnp.cumsum(img, axis=0), axis=1)[:nty, :ntx]
-        return counts.max()
+        return jnp.cumsum(jnp.cumsum(img, axis=0), axis=1)[:nty, :ntx]
+
+    def max_tile_count(tx0, ty0, bw, bh, ntx, nty):
+        return tile_counts(tx0, ty0, bw, bh, ntx, nty).max()
 
     tris, _ = main_view_tris(scene, consts, cfg)
     th = rp.TILE_H if cfg.use_pallas else rz.TILE_H
@@ -1040,6 +1170,14 @@ def capacity_requirements(scene: DeviceScene, consts: FrameConstants,
                                                th, rz.TILE_W)
     main_pairs = (bw * bh).astype(jnp.int32).sum()
     main_max_tile = max_tile_count(tx0, ty0, bw, bh, ntx, nty)
+    # occupied-SHADE-tile upper bound (tiles any visible triangle's bbox
+    # touches >= tiles with covered pixels): sizes shade_tile_capacity
+    if (th, rz.TILE_W) == (SHADE_TILE_H, SHADE_TILE_W):
+        shade_tiles = (tile_counts(tx0, ty0, bw, bh, ntx, nty) > 0).sum()
+    else:
+        sb = rz._tile_bbox(tris, cfg.width, cfg.height, SHADE_TILE_H,
+                           SHADE_TILE_W)
+        shade_tiles = (tile_counts(*sb) > 0).sum()
 
     S = cfg.shadow_map_size
     C = cfg.num_cascades
@@ -1065,7 +1203,8 @@ def capacity_requirements(scene: DeviceScene, consts: FrameConstants,
                 max_tile_count(tx0, ty0, bw, bh, ntx, nty))
     return dict(main_pairs=main_pairs, shadow_pairs=shadow_pairs,
                 main_max_tile=main_max_tile,
-                shadow_max_tile=shadow_max_tile)
+                shadow_max_tile=shadow_max_tile,
+                shade_tiles=shade_tiles)
 
 
 # ---------------------------------------------------------------------------

@@ -587,4 +587,10 @@ def cascade_shadow_factor(shadow_maps, shadow_transforms, pos_w, eye_pos,
     else:
         blend = (c < 3) & (jnp.abs(dist - radii[c]) < 10.0)
     factor = jnp.where(blend, 0.5 * (f_c + f_n), f_c)
+    if dead is not None:
+        # same contract as the single-tap branch: discarded (sky)
+        # receivers get a deterministic 1.0 so the fast path's half-res
+        # bilinear upsample never leaks extrapolated factors into
+        # silhouette pixels
+        factor = jnp.where(dead, 1.0, factor)
     return jnp.where(no_shadow, 1.0, factor)

@@ -547,11 +547,12 @@ def _resolve_core(scene: DeviceScene, consts: FrameConstants,
     pool = scene.pair_pool
     pairidx = _mat_select(scene.mat_pair, mat)
     # Per-PRIMITIVE uv derivatives: evaluate THIS pixel's triangle at
-    # (x+1, y) and (x, y+1) and difference — exactly D3D12's helper-lane
-    # semantics (a 2x2 quad's out-of-coverage lanes execute the SAME
-    # primitive, so ddx/ddy never mix triangles; the previous resolved-
-    # field finite difference mixed neighbor triangles at silhouettes and
-    # needed a cross-band halo row + last-row special case). Pure
+    # (x+1, y) and (x, y+1) and difference — same-primitive helper-lane
+    # evaluation, per-PIXEL rather than per-quad (hardware ddx/ddy are
+    # 2x2-quad-aligned, so odd-column/row pixels deviate sub-texel in
+    # LOD; like hardware, ddx/ddy never mix triangles — the previous
+    # resolved-field finite difference mixed neighbor triangles at
+    # silhouettes and needed a cross-band halo row). Pure
     # per-pixel math — no neighbor reads — which is also what makes
     # tile-compacted shading (shade_tile_capacity) possible.
     def uv_at(px_, py_):
@@ -1173,11 +1174,21 @@ def capacity_requirements(scene: DeviceScene, consts: FrameConstants,
     # occupied-SHADE-tile upper bound (tiles any visible triangle's bbox
     # touches >= tiles with covered pixels): sizes shade_tile_capacity
     if (th, rz.TILE_W) == (SHADE_TILE_H, SHADE_TILE_W):
-        shade_tiles = (tile_counts(tx0, ty0, bw, bh, ntx, nty) > 0).sum()
+        shade_occ = tile_counts(tx0, ty0, bw, bh, ntx, nty) > 0
     else:
         sb = rz._tile_bbox(tris, cfg.width, cfg.height, SHADE_TILE_H,
                            SHADE_TILE_W)
-        shade_tiles = (tile_counts(*sb) > 0).sum()
+        shade_occ = tile_counts(*sb) > 0
+    if cfg.alpha_test_enabled and scene.alpha is not None:
+        # alpha_merge_main can set tid >= 0 in tiles no OPAQUE bbox
+        # touches (fence over sky), so the AT layer's bboxes must count
+        # toward shade-tile occupancy or the compacted resolve could
+        # clear-fill covered alpha pixels without tripping the guard
+        a_tris, _ = alpha_view_tris(scene, consts, cfg)
+        ab = rz._tile_bbox(a_tris, cfg.width, cfg.height, SHADE_TILE_H,
+                           SHADE_TILE_W)
+        shade_occ = shade_occ | (tile_counts(*ab) > 0)
+    shade_tiles = shade_occ.sum()
 
     S = cfg.shadow_map_size
     C = cfg.num_cascades

@@ -634,3 +634,193 @@ def DefaultPSTail(diffuseAlbedo, normalMapSample, bumpedNormalW, PosW,
         * reflectionColor[:3]
     litColor[3] = diffuseAlbedo[3]
     return litColor
+
+
+# ---------------------------------------------------------------------------
+# CRYCHIC.cpp cascade fitting (UpdateCascadeShadowTransform :634-815)
+# ---------------------------------------------------------------------------
+# Scalar transliteration of the host-side cascade fit, including the
+# DirectXMath matrix builders it calls (XMMatrixPerspectiveFovLH,
+# XMMatrixLookAtLH, XMMatrixOrthographicOffCenterLH) so this shares no
+# matrix code with crychic_renderer_tpu.utils.mathutil. Row-vector
+# convention throughout (XMVector3Transform(v, M) = [v, 1] @ M).
+
+def XMMatrixPerspectiveFovLH(FovAngleY, AspectRatio, NearZ, FarZ):
+    SinFov = f32(np.sin(f32(0.5) * f32(FovAngleY)))
+    CosFov = f32(np.cos(f32(0.5) * f32(FovAngleY)))
+    Height = CosFov / SinFov
+    Width = Height / f32(AspectRatio)
+    fRange = f32(FarZ) / (f32(FarZ) - f32(NearZ))
+    M = np.zeros((4, 4), f32)
+    M[0, 0] = Width
+    M[1, 1] = Height
+    M[2, 2] = fRange
+    M[2, 3] = f32(1.0)
+    M[3, 2] = -fRange * f32(NearZ)
+    return M
+
+
+def XMMatrixLookAtLH(EyePosition, FocusPosition, UpDirection):
+    # XMMatrixLookToLH(eye, focus - eye, up)
+    eye = np.asarray(EyePosition, f32)[:3]
+    EyeDirection = np.asarray(FocusPosition, f32)[:3] - eye
+    up = np.asarray(UpDirection, f32)[:3]
+    R2 = normalize(EyeDirection)
+    R0 = normalize(np.cross(up, R2).astype(f32))
+    R1 = np.cross(R2, R0).astype(f32)
+    NegEyePosition = -eye
+    D0 = dot(R0, NegEyePosition)
+    D1 = dot(R1, NegEyePosition)
+    D2 = dot(R2, NegEyePosition)
+    M = np.zeros((4, 4), f32)
+    M[:3, 0] = R0
+    M[:3, 1] = R1
+    M[:3, 2] = R2
+    M[3, 0] = D0
+    M[3, 1] = D1
+    M[3, 2] = D2
+    M[3, 3] = f32(1.0)
+    return M
+
+
+def XMMatrixOrthographicOffCenterLH(l, r, b, t, NearZ, FarZ):
+    ReciprocalWidth = f32(1.0) / (f32(r) - f32(l))
+    ReciprocalHeight = f32(1.0) / (f32(t) - f32(b))
+    fRange = f32(1.0) / (f32(FarZ) - f32(NearZ))
+    M = np.zeros((4, 4), f32)
+    M[0, 0] = ReciprocalWidth + ReciprocalWidth
+    M[1, 1] = ReciprocalHeight + ReciprocalHeight
+    M[2, 2] = fRange
+    M[3, 0] = -(f32(l) + f32(r)) * ReciprocalWidth
+    M[3, 1] = -(f32(t) + f32(b)) * ReciprocalHeight
+    M[3, 2] = -fRange * f32(NearZ)
+    M[3, 3] = f32(1.0)
+    return M
+
+
+def UpdateCascadeShadowTransform(mCameraView, fovY, aspect, cameraNearZ,
+                                 cameraFarZ, lightDir, shadowMapWidth,
+                                 snap_fracs_out=None):
+    """CRYCHIC.cpp:634-815, one pass over the 4 cascades.
+
+    mCameraView: (4, 4) row-vector view matrix (Camera::GetView()).
+    Returns (lightViews, lightProjs, shadowTransforms), each (4, 4, 4).
+
+    snap_fracs_out: optional list; receives each cascade's PRE-floor
+    center/texel triple so callers can detect floor knife edges (where
+    f32 rounding differences between two implementations legitimately
+    flip the snap by one texel).
+    """
+    zNear = [f32(cameraNearZ), f32(30.0), f32(50.0), f32(80.0)]
+    zFar = [f32(30.0), f32(50.0), f32(80.0), f32(cameraFarZ)]
+    lightDir = np.asarray(lightDir, f32)
+
+    lightViews, lightProjs, shadowTransforms = [], [], []
+    for i in range(4):
+        mCameraProj = XMMatrixPerspectiveFovLH(fovY, aspect, zNear[i],
+                                               zFar[i])
+        mInvViewProj = np.linalg.inv(
+            (mCameraView @ mCameraProj).astype(f32)).astype(f32)
+        # corners in NDC space (:656-668)
+        corners = np.array([
+            [-1.0, +1.0, 0.0, +1.0],
+            [+1.0, +1.0, 0.0, +1.0],
+            [+1.0, -1.0, 0.0, +1.0],
+            [-1.0, -1.0, 0.0, +1.0],
+            [-1.0, +1.0, 1.0, +1.0],
+            [+1.0, +1.0, 1.0, +1.0],
+            [+1.0, -1.0, 1.0, +1.0],
+            [-1.0, -1.0, 1.0, +1.0],
+        ], f32)
+        # transform from ndc to world (:688-705): XMVector3Transform uses
+        # (x, y, z, 1); the loop divides xyz by the transformed w
+        for j in range(8):
+            c = np.array([corners[j, 0], corners[j, 1], corners[j, 2],
+                          f32(1.0)], f32)
+            cw = c @ mInvViewProj
+            corners[j] = cw
+            corners[j, 0] = corners[j, 0] / cw[3]
+            corners[j, 1] = corners[j, 1] / cw[3]
+            corners[j, 2] = corners[j, 2] / cw[3]
+
+        # compute maxDistance (:707-714)
+        crossFar = f32(np.sqrt(
+            (corners[7, 0] - corners[5, 0]) ** 2
+            + (corners[7, 1] - corners[5, 1]) ** 2
+            + (corners[7, 2] - corners[5, 2]) ** 2))
+        crossNear2Far = f32(np.sqrt(
+            (corners[3, 0] - corners[5, 0]) ** 2
+            + (corners[3, 1] - corners[5, 1]) ** 2
+            + (corners[3, 2] - corners[5, 2]) ** 2))
+        boundingBoxLength = crossFar if crossFar > crossNear2Far \
+            else crossNear2Far
+
+        targetPos = f32(0.5) * (corners[3, :3] + corners[5, :3])
+        distance = boundingBoxLength
+        lightPos = -distance * lightDir + targetPos
+        up = np.array([0.0, 1.0, 0.0], f32)
+        lightView = XMMatrixLookAtLH(lightPos, targetPos, up)
+
+        # transform world to light view space (:740-745)
+        cornersLight = np.zeros((8, 3), f32)
+        for j in range(8):
+            c = np.array([corners[j, 0], corners[j, 1], corners[j, 2],
+                          f32(1.0)], f32)
+            cornersLight[j] = (c @ lightView)[:3]
+
+        vMin = cornersLight.min(axis=0)
+        vMax = cornersLight.max(axis=0)
+
+        # texel snap (:758-781): floor-snap ALL THREE center components
+        fWorldUnitsPerTexel = boundingBoxLength / f32(shadowMapWidth)
+        fCenter = (f32(0.5) * (vMin + vMax)).astype(f32)
+        if snap_fracs_out is not None:
+            snap_fracs_out.append(
+                (fCenter / fWorldUnitsPerTexel).astype(f32).copy())
+        for k in range(3):
+            fCenter[k] = fCenter[k] / fWorldUnitsPerTexel
+            fCenter[k] = f32(np.floor(fCenter[k]))
+            fCenter[k] = fCenter[k] * fWorldUnitsPerTexel
+
+        l = fCenter[0] - f32(0.5) * boundingBoxLength
+        b = fCenter[1] - f32(0.5) * boundingBoxLength
+        n = fCenter[2] - f32(0.5) * boundingBoxLength
+        r = fCenter[0] + f32(0.5) * boundingBoxLength
+        t = fCenter[1] + f32(0.5) * boundingBoxLength
+        f = fCenter[2] + f32(0.5) * boundingBoxLength
+
+        lightProj = XMMatrixOrthographicOffCenterLH(l, r, b, t, n, f)
+        T = np.array([
+            [0.5, 0.0, 0.0, 0.0],
+            [0.0, -0.5, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0],
+            [0.5, 0.5, 0.0, 1.0],
+        ], f32)
+        shadowTransform = (lightView @ lightProj @ T).astype(f32)
+        lightViews.append(lightView)
+        lightProjs.append(lightProj)
+        shadowTransforms.append(shadowTransform)
+    return (np.stack(lightViews), np.stack(lightProjs),
+            np.stack(shadowTransforms))
+
+
+# ---------------------------------------------------------------------------
+# GBuffer.hlsl encode/decode (:22-43)
+# ---------------------------------------------------------------------------
+
+def EncodePBRToGBuffer(pos, metalness, albedo, roughness, normal):
+    GBuffer0 = np.concatenate([pos, [metalness]]).astype(f32)
+    GBuffer1 = np.concatenate([albedo, [roughness]]).astype(f32)
+    GBuffer2 = np.concatenate([normal, [f32(1.0)]]).astype(f32)
+    GBuffer3 = np.zeros(4, f32)
+    return GBuffer0, GBuffer1, GBuffer2, GBuffer3
+
+
+def DecodeGBuffer(gBuffer0, gBuffer1, gBuffer2, gBuffer3):
+    return dict(
+        pos=gBuffer0[:3],
+        metalness=gBuffer0[3],
+        albedo=gBuffer1[:3],
+        roughness=gBuffer1[3],
+        normal=normalize(gBuffer2[:3]),
+    )

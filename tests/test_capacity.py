@@ -38,3 +38,30 @@ def test_shadow_overflow_raises():
                  auto_capacity=False)
     with pytest.raises(RuntimeError, match="shadow raster overflow"):
         r.check_capacity(0.0)
+
+
+def test_shade_tiles_count_alpha_layer():
+    """alpha_merge_main sets tid >= 0 in tiles no OPAQUE bbox touches
+    (fence bars against sky), so shade-tile occupancy must include the
+    AT layer's bboxes — else the compacted resolve clear-fills covered
+    alpha pixels without tripping check_capacity (ADVICE r4 high)."""
+    import functools
+
+    import jax
+
+    from crychic_renderer_tpu.models.scenes_baseline import fence_scene
+    from crychic_renderer_tpu.passes import frame as fr
+
+    scene, cfg, lights = fence_scene(alpha_test=True)
+    r = Renderer(scene, cfg, lights=lights)
+    # look UP at the fence so its bars land on pure-sky tiles the floor's
+    # bboxes never touch
+    r.camera.look_at((0.0, 2.0, -14.0), (0.0, 6.0, 0.0), (0.0, 1.0, 0.0))
+    consts = r.frame_constants(0.0)
+    req = jax.jit(functools.partial(
+        fr.capacity_requirements, cfg=r.cfg))(r.device_scene, consts)
+    cfg_off = dataclasses.replace(r.cfg, alpha_test_enabled=False)
+    req_off = jax.jit(functools.partial(
+        fr.capacity_requirements, cfg=cfg_off))(r.device_scene, consts)
+    assert int(req["shade_tiles"]) > int(req_off["shade_tiles"]), (
+        int(req["shade_tiles"]), int(req_off["shade_tiles"]))

@@ -386,3 +386,276 @@ def test_ssao_blur_matches_oracle():
                     got[j, i], np.asarray(want).reshape(-1)[0],
                     rtol=5e-4, atol=5e-4,
                     err_msg=f"blur {horizontal} pixel ({j},{i})")
+
+
+# ---------------------------------------------------------------------------
+# Cascade fitting (CRYCHIC.cpp:634-815) and G-buffer codec (GBuffer.hlsl)
+# ---------------------------------------------------------------------------
+
+def test_cascade_fit_matches_oracle():
+    """models.cascades.fit_cascades == the CRYCHIC.cpp:634-815
+    transliteration, at sub-texel precision: the shadow transforms are
+    compared by projecting world points into shadow uv, with a bound of
+    a QUARTER texel — a one-texel snapping error in the ortho-center fit
+    moves every uv by exactly one texel and fails loudly."""
+    from crychic_renderer_tpu.models.camera import Camera
+    from crychic_renderer_tpu.models import cascades
+
+    rng = np.random.RandomState(31)
+    S = 2048
+    compared = 0
+    for trial in range(12):
+        cam = Camera()
+        aspect = float(rng.uniform(1.0, 2.0))
+        fov = float(rng.uniform(0.2, 0.45) * np.pi)
+        cam.set_lens(fov, aspect, 1.0, 100.0)
+        pos = rng.uniform(-20, 20, 3).astype(np.float32)
+        pos[1] = rng.uniform(1.0, 15.0)
+        target = pos + _unit(rng, 1)[0] * 10.0
+        cam.look_at(pos, target, (0.0, 1.0, 0.0))
+        # downward-ish light (the reference's casters all point down;
+        # avoids the lookAt degeneracy at light || up)
+        ld = _unit(rng, 1)[0]
+        ld[1] = -abs(ld[1]) - 0.3
+        light_dir = (ld / np.linalg.norm(ld)).astype(np.float32)
+
+        got = cascades.fit_cascades(cam, light_dir, S)
+        snap_fracs = []
+        want_v, want_p, want_t = ho.UpdateCascadeShadowTransform(
+            cam.view, cam.fov_y, cam.aspect, cam.near_z, cam.far_z,
+            light_dir, S, snap_fracs_out=snap_fracs)
+
+        # sample world points inside each cascade slice
+        for c in range(4):
+            # floor-snap knife edge: when center/texel sits within f32
+            # rounding of an integer, the two (both-correct) f32
+            # pipelines legitimately floor to different texels — skip
+            # (observed distances: knife edges < 5e-5, regular >= 4e-3)
+            frac = snap_fracs[c] - np.floor(snap_fracs[c])
+            if np.minimum(frac, 1.0 - frac).min() < 2e-3:
+                continue
+            compared += 1
+            zs = [(1.0, 30.0), (30.0, 50.0), (50.0, 80.0),
+                  (80.0, 100.0)][c]
+            depth = rng.uniform(zs[0], zs[1], 16).astype(np.float32)
+            x = rng.uniform(-0.8, 0.8, 16).astype(np.float32)
+            y = rng.uniform(-0.8, 0.8, 16).astype(np.float32)
+            # view-space point on the slice -> world
+            vx = x * depth * np.tan(0.5 * fov) * aspect
+            vy = y * depth * np.tan(0.5 * fov)
+            pv = np.stack([vx, vy, depth, np.ones_like(depth)], -1)
+            inv_view = np.linalg.inv(cam.view)
+            pw = (pv @ inv_view)[:, :3].astype(np.float32)
+            ph = np.concatenate([pw, np.ones((16, 1), np.float32)], -1)
+            uv_got = ph @ got.shadow_transforms[c]
+            uv_want = ph @ want_t[c]
+            uv_got = uv_got[:, :3] / uv_got[:, 3:4]
+            uv_want = uv_want[:, :3] / uv_want[:, 3:4]
+            np.testing.assert_allclose(
+                uv_got[:, :2], uv_want[:, :2], atol=0.25 / S,
+                err_msg=f"trial {trial} cascade {c} uv")
+            np.testing.assert_allclose(
+                uv_got[:, 2], uv_want[:, 2], atol=2e-4,
+                err_msg=f"trial {trial} cascade {c} depth")
+    assert compared >= 30, compared  # knife-edge skips must stay rare
+
+
+def test_cascade_fit_snap_error_fails():
+    """Sensitivity guard: shifting the snapped ortho center by ONE texel
+    must trip the quarter-texel uv bound above (proves the tolerance is
+    tight enough to catch a snapping bug)."""
+    from crychic_renderer_tpu.models.camera import Camera
+
+    S = 2048
+    cam = Camera()
+    cam.set_lens(0.25 * np.pi, 1.5, 1.0, 100.0)
+    cam.look_at((0.0, 5.0, -12.0), (0.0, 0.0, 5.0), (0.0, 1.0, 0.0))
+    light_dir = np.array([0.57735, -0.57735, 0.57735], np.float32)
+    _, _, t0 = ho.UpdateCascadeShadowTransform(
+        cam.view, cam.fov_y, cam.aspect, cam.near_z, cam.far_z,
+        light_dir, S)
+    # same fit with the center snapped one texel off in x: re-run the
+    # oracle with width S' chosen so the floor lands one texel away is
+    # fiddly; instead inject the error directly in uv space
+    pw = np.array([[0.0, 0.0, 20.0, 1.0]], np.float32)
+    uv = pw @ t0[0]
+    uv_shifted = uv.copy()
+    uv_shifted[:, 0] += uv[:, 3] * (1.0 / S)  # one-texel world-fit error
+    with np.testing.assert_raises(AssertionError):
+        np.testing.assert_allclose(
+            (uv_shifted[:, :2] / uv_shifted[:, 3:4]),
+            (uv[:, :2] / uv[:, 3:4]), atol=0.25 / S)
+
+
+def test_gbuffer_codec_matches_oracle():
+    """ops.gbuffer encode/decode == GBuffer.hlsl:22-43 at 200 random
+    pixels, including the decode-side normal renormalization."""
+    from crychic_renderer_tpu.ops import gbuffer
+
+    rng = np.random.RandomState(37)
+    N = 200
+    pos = rng.uniform(-50, 50, (1, N, 3)).astype(np.float32)
+    met = rng.uniform(0, 1, (1, N, 1)).astype(np.float32)
+    alb = rng.uniform(0, 1, (1, N, 4)).astype(np.float32)
+    rough = rng.uniform(0, 1, (1, N, 1)).astype(np.float32)
+    nrm = (_unit(rng, N) * rng.uniform(0.5, 2.0, (N, 1))).astype(
+        np.float32)[None]  # unnormalized: decode must renormalize
+
+    gbs = [np.asarray(g) for g in gbuffer.encode(
+        jnp.asarray(pos), jnp.asarray(met), jnp.asarray(alb),
+        jnp.asarray(rough), jnp.asarray(nrm))]
+    dec = {k: np.asarray(v) for k, v in gbuffer.decode(
+        *[jnp.asarray(g) for g in gbs]).items()}
+
+    for i in range(0, N, 7):
+        w0, w1, w2, w3 = ho.EncodePBRToGBuffer(
+            pos[0, i], met[0, i, 0], alb[0, i, :3], rough[0, i, 0],
+            nrm[0, i])
+        np.testing.assert_allclose(gbs[0][0, i], w0, rtol=1e-6)
+        np.testing.assert_allclose(gbs[1][0, i], w1, rtol=1e-6)
+        np.testing.assert_allclose(gbs[2][0, i], w2, rtol=1e-6)
+        np.testing.assert_allclose(gbs[3][0, i], w3, rtol=1e-6)
+        want = ho.DecodeGBuffer(w0, w1, w2, w3)
+        np.testing.assert_allclose(dec["pos_w"][0, i], want["pos"],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(dec["metalness"][0, i, 0],
+                                   want["metalness"], rtol=1e-6)
+        np.testing.assert_allclose(dec["albedo"][0, i], want["albedo"],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(dec["roughness"][0, i, 0],
+                                   want["roughness"], rtol=1e-6)
+        np.testing.assert_allclose(dec["normal_w"][0, i], want["normal"],
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_composed_pixel_chain_matches_oracle():
+    """END-TO-END composition check (VERDICT r4 Missing #2): one real
+    config-5 frame, ~16 covered pixels, the full post-raster chain
+    recomputed through the ORACLE — G-buffer encode/decode
+    (EncodePBRToGBuffer/DecodeGBuffer), the cascade/PCF loop
+    (CascadeShadowLoop on the frame's real shadow maps), PBR + tonemap +
+    sky-reflection tail (DefaultPSTail) — against render_frame's final
+    image. The per-map stages (SSAO occlusion/blur, PCF forms, PBR,
+    tonemap) are oracle-verified as units above; this test verifies the
+    GLUE: pass ordering, uv/projection plumbing, quirk flags.
+
+    Boundaries (documented): ambient access is read from the frame's
+    upsampled half-res map (its producer is unit-verified in
+    test_ssao_*_matches_oracle), the procedural-sky reflection color is
+    sampled by the production function at the ORACLE-computed reflection
+    direction (the sky is a substitute for the missing reference asset,
+    SURVEY §0), and the oracle reads the u16-dequantized shadow maps
+    (+0.5 half-step) — the exact comparison contract pcf_single_tap
+    implements (quantization itself is the production PCF's documented
+    representation, verified in test_poisson_pcf_*)."""
+    import dataclasses
+    import functools
+
+    import jax
+
+    from crychic_renderer_tpu.models.scenes_baseline import CONFIGS
+    from crychic_renderer_tpu.app.renderer import Renderer
+    from crychic_renderer_tpu.ops import gbuffer, rasterizer as rz, sampling
+    from crychic_renderer_tpu.passes import frame as fr
+
+    scene_py, cfg, lights = CONFIGS[5]()
+    cfg = dataclasses.replace(cfg, width=cfg.width // 8,
+                              height=cfg.height // 8,
+                              shadow_map_size=max(cfg.shadow_map_size // 8,
+                                                  128))
+    r = Renderer(scene_py, cfg, lights=lights)
+    scene, consts, cfg = r.device_scene, r.frame_constants(0.0), r.cfg
+
+    def intermediates(scene, consts):
+        tris, tri_attr = fr.main_view_tris(scene, consts, cfg)
+        bins = rz.bin_triangles(tris, cfg.width, cfg.height,
+                                cfg.pair_capacity)
+        depth, tid = rz.rasterize_binned(tris, bins, cfg.width,
+                                         cfg.height, cfg.bin_cap)
+        if cfg.alpha_test_enabled and scene.alpha is not None:
+            depth, tid, tris, tri_attr = fr.alpha_merge_main(
+                scene, consts, cfg, depth, tid, tris, tri_attr)
+        g = fr.resolve_gbuffer(scene, consts, cfg, tris, depth, tid,
+                               tri_attr)
+        smaps = fr.render_shadow_maps(scene, consts, cfg)
+        if cfg.alpha_test_enabled and scene.alpha is not None:
+            smaps = fr.alpha_merge_shadow(scene, consts, cfg, smaps)
+        access_half = fr.ssao_pass(scene, consts, cfg, g["normal_v"],
+                                   depth)
+        ambient = fr._upsample_bilinear(access_half, cfg.height,
+                                        cfg.width)
+        return g, smaps, ambient
+
+    g, smaps, ambient = jax.jit(intermediates)(scene, consts)
+    final = r.render_np(0.0)
+
+    gb = [np.asarray(x) for x in gbuffer.from_resolve(g)]
+    g_np = {k: np.asarray(v) for k, v in g.items()}
+    smaps_np = np.asarray(smaps)
+    # pcf_single_tap's exact comparison contract: u16 quantization with
+    # the half-step offset (depth*65535 - 0.5 <= q  <=>  depth <= maps_eff)
+    maps_eff = ((np.round(np.clip(smaps_np, 0.0, 1.0) * 65535.0)
+                 + np.float32(0.5)) / np.float32(65535.0)).astype(
+                     np.float32)
+    ambient_np = np.asarray(ambient)
+    eye = np.asarray(consts.eye_pos)
+    xforms = np.asarray(consts.shadow_transforms)
+    amb_light = np.asarray(scene.ambient)
+
+    oracle_lights = []
+    for i in range(cfg.num_dir_lights):
+        oracle_lights.append(ho.Light(
+            Strength=np.asarray(lights.strength[i], np.float32),
+            FalloffStart=np.float32(1.0),
+            Direction=np.asarray(lights.direction[i], np.float32),
+            FalloffEnd=np.float32(10.0),
+            Position=np.zeros(3, np.float32),
+            SpotPower=np.float32(1.0)))
+
+    # covered pixels spread over the cascade distances (and the screen)
+    valid = g_np["valid"]
+    dist = np.sqrt(((eye[None, None] - g_np["pos_w"]) ** 2).sum(-1))
+    rng = np.random.RandomState(41)
+    picks = []
+    for lo, hi in [(0, 30), (30, 50), (50, 80), (80, 100), (0, 100)]:
+        ys, xs = np.nonzero(valid & (dist >= lo) & (dist < hi))
+        if len(ys) == 0:
+            continue
+        for j in rng.choice(len(ys), size=min(4, len(ys)), replace=False):
+            picks.append((int(ys[j]), int(xs[j])))
+    assert len(picks) >= 12, picks
+
+    checked = 0
+    for (y, x) in picks[:20]:
+        desc = ho.DecodeGBuffer(gb[0][y, x], gb[1][y, x], gb[2][y, x],
+                                gb[3][y, x])
+        alb4 = np.concatenate([desc["albedo"],
+                               [g_np["albedo"][y, x, 3]]]).astype(
+                                   np.float32)
+        met = desc["metalness"]
+        fres_r0 = (np.float32(0.04) * (1 - met)
+                   + desc["albedo"] * met).astype(np.float32)
+        sf0 = ho.CascadeShadowLoop(maps_eff, xforms, eye,
+                                   g_np["pos_w"][y, x], deferred=True)
+        toEye = ho.normalize(eye - desc["pos"])
+        refl = ho.reflect(-toEye, desc["normal"])
+        cube = np.asarray(sampling.procedural_sky_color(
+            jnp.asarray(refl)[None]))[0]
+        cube4 = np.concatenate([cube, [np.float32(1.0)]]).astype(
+            np.float32)
+        want = ho.DefaultPSTail(
+            diffuseAlbedo=alb4,
+            normalMapSample=np.array([0, 0, 0, 1], np.float32),
+            bumpedNormalW=desc["normal"], PosW=desc["pos"],
+            gEyePosW=eye, ambientAccess=np.float32(ambient_np[y, x]),
+            gAmbientLight=amb_light, fresnelR0=fres_r0,
+            roughness=desc["roughness"], metalness=met,
+            gLights=oracle_lights, num_dir=cfg.num_dir_lights,
+            shadowFactor0=sf0, reflectionColor=cube4)
+        # render_np clips to [0, 1] (display contract) — mirror it
+        np.testing.assert_allclose(
+            final[y, x], np.clip(want, 0.0, 1.0), rtol=2e-3, atol=2e-3,
+            err_msg=f"pixel ({y},{x}) dist {dist[y, x]:.1f} sf0 {sf0}")
+        checked += 1
+    assert checked >= 12

@@ -263,15 +263,27 @@ class Renderer:
         kw = dict(pair_capacity=size(req["main_pairs"]),
                   shadow_pair_capacity=size(req["shadow_pairs"]))
         # tile-compacted shading: capacity in occupied (8, 128) shade
-        # tiles, 1.5x pose headroom rounded to 64 (the compiled shape
-        # scales gather rows linearly, so tight is fast); capped at the
+        # tiles, 1.25x pose headroom rounded to 64 (the compiled shape
+        # scales the resolve's + PCF's gather rows LINEARLY — issued
+        # rows are min(1, occupancy * headroom) of the screen, and
+        # occupancy is ~52-54% on the full configs, so 1.5x headroom
+        # forfeited a third of the compaction; ensure_capacity grows +
+        # recompiles loudly when a pose outruns 1.25x); capped at the
         # full tile grid, where the compacted path would only add its
         # (tiny) compaction overhead to a full-screen resolve
         nt_full = (-(-self.cfg.height // fr.SHADE_TILE_H)
                    * -(-self.cfg.width // fr.SHADE_TILE_W))
-        cb = min(nt_full, max(64, -(-int(req["shade_tiles"] * 1.5)
+        cb = min(nt_full, max(64, -(-int(req["shade_tiles"] * 1.25)
                                     // 64) * 64))
         kw["shade_tile_capacity"] = cb
+        if self.cfg.ssao_enabled:
+            # tile-compacted SSAO occlusion (same sizing discipline on
+            # the (8, 32) HALF-res tile grid)
+            snt_full = (-(-self.cfg.ssao_height // fr.SSAO_TILE_H)
+                        * -(-self.cfg.ssao_width // fr.SSAO_TILE_W))
+            scb = min(snt_full, max(64, -(-int(req["ssao_tiles"] * 1.25)
+                                          // 64) * 64))
+            kw["ssao_tile_capacity"] = scb
         if not self.cfg.use_pallas:
             # the XLA path truncates per-tile runs at bin_cap — size BOTH
             # the main and the shadow caps (an undersized shadow_bin_cap
@@ -315,6 +327,18 @@ class Renderer:
         self._frame_fn = jax.jit(
             functools.partial(fr.render_frame, cfg=self.cfg))
 
+    def ensure_capacity(self, total_time: float = 0.0):
+        """check_capacity, but GROW instead of raising: when the pose
+        outruns the autosized tile/pair capacities, re-autosize at this
+        pose and re-jit the frame (one recompile), preserving the
+        no-silent-truncation contract without killing the session."""
+        try:
+            return self.check_capacity(total_time)
+        except RuntimeError:
+            self._autosize_capacity()
+            self.rebind_frame_fn()
+            return self.check_capacity(total_time)
+
     def check_capacity(self, total_time: float = 0.0):
         """Raise if the current camera's frame would overflow the sized
         capacities (callable per frame from the app loop)."""
@@ -342,6 +366,12 @@ class Renderer:
             raise RuntimeError(
                 f"shade tile overflow: {req['shade_tiles']} occupied tiles "
                 f"> shade_tile_capacity {self.cfg.shade_tile_capacity}; "
+                f"re-run _autosize_capacity")
+        if (self.cfg.ssao_enabled and self.cfg.ssao_tile_capacity
+                and req["ssao_tiles"] > self.cfg.ssao_tile_capacity):
+            raise RuntimeError(
+                f"ssao tile overflow: {req['ssao_tiles']} occupied tiles "
+                f"> ssao_tile_capacity {self.cfg.ssao_tile_capacity}; "
                 f"re-run _autosize_capacity")
         return req
 

@@ -97,6 +97,13 @@ class RenderConfig:
     # exact occupied-tile bound with the same check_capacity guard as the
     # pair capacities.
     shade_tile_capacity: int = None
+    # Tile-compacted SSAO occlusion: the 14 tap gathers are issued only
+    # for (8, 128) HALF-res tiles within the blur/upsample support of a
+    # covered pixel — bit-exact on the full access map (skipped sky
+    # tiles' true occlusion is exactly 1.0; see
+    # passes.frame._ssao_occlusion_compacted). None = full-grid
+    # occlusion; Renderer autosizing sets it like shade_tile_capacity.
+    ssao_tile_capacity: int = None
     # Multi-chip band binning capacities (pairs per DEVICE band). None =
     # the full-frame capacities (always safe). Pair counts are heavily
     # skewed across bands — the horizon band of the cascade scene holds

@@ -175,7 +175,7 @@ def ssao_occlusion(normal_v, depth_ndc, proj, inv_proj, offsets,
                    random_tex=None,
                    occlusion_radius=0.5, fade_start=0.2, fade_end=1.0,
                    surface_eps=0.05, tap_depth=None, row_offset=0,
-                   full_height=None, random_field=None):
+                   full_height=None, random_field=None, pixel_uv=None):
     """Half-res SSAO occlusion pass (Ssao.hlsl PS).
 
     normal_v: (h, w, 3) view-space normals (half-res); depth_ndc: (h, w)
@@ -197,18 +197,30 @@ def ssao_occlusion(normal_v, depth_ndc, proj, inv_proj, offsets,
     ``tap_depth`` must be the all-gathered full-screen depth — the taps
     land anywhere on screen (Ssao.hlsl:67-69 reconstructs rays from
     full-frame NDC).
+
+    pixel_uv: optional (U, V) texture-space uv per evaluated pixel (any
+    leading shape matching depth_ndc/normal_v/random_field) — the
+    tile-compacted path (passes.frame._ssao_occlusion_compacted)
+    evaluates occlusion only at occupied tiles, so the pixel grid is no
+    longer the array grid. Requires random_field (the compacted caller
+    gathers the frame-constant field alongside its inputs).
     """
-    h, w = depth_ndc.shape
-    if full_height is None:
-        full_height = h
     if tap_depth is None:
         tap_depth = depth_ndc
     A22, B32 = proj[2, 2], proj[3, 2]
 
-    # view-space ray through each pixel (quad corners -> inv proj)
-    uu = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
-    vv = (jnp.arange(h, dtype=jnp.float32) + row_offset + 0.5) / full_height
-    U, V = jnp.meshgrid(uu, vv)  # 'xy' indexing: both (h, w)
+    if pixel_uv is not None:
+        assert random_field is not None
+        U, V = pixel_uv
+    else:
+        h, w = depth_ndc.shape
+        if full_height is None:
+            full_height = h
+        # view-space ray through each pixel (quad corners -> inv proj)
+        uu = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        vv = (jnp.arange(h, dtype=jnp.float32)
+              + row_offset + 0.5) / full_height
+        U, V = jnp.meshgrid(uu, vv)  # 'xy' indexing: both (h, w)
     ndc = jnp.stack([2 * U - 1, 1 - 2 * V, jnp.zeros_like(U),
                      jnp.ones_like(U)], axis=-1)
     from .shading import rowmat

@@ -795,15 +795,130 @@ def ssao_blur(scene: DeviceScene, consts: FrameConstants, cfg: RenderConfig,
     return access
 
 
+# SSAO occlusion needed EXACTLY at half-res pixels within this L-inf
+# radius of any covered pixel: 15 (3 blur passes x radius 5 per axis)
+# + 1 (the full-res bilinear upsample's half-res support) = 16 px. The
+# SSAO tile is (8, 32) — finer than the shade tile's (8, 128) because
+# the dilation makes wide tiles over-inclusive (measured on config 5:
+# 65% occupancy at (8, 128) + (2, 1) dilation vs 58% at (8, 32)); the
+# auxiliary in/out gathers stay O(tiles), trivial next to the 14 tap
+# rows per pixel they remove.
+SSAO_TILE_H = 8
+SSAO_TILE_W = 32
+_SSAO_DILATE_TILES = (2, 1)  # (16/8, ceil(16/32)) tile radii >= 16 px
+
+
+def _ssao_tile_occupancy(valid_half, nty: int, ntx: int):
+    """(h, w) half-res validity -> (NT,) bool: tiles within the blur
+    dilation of any valid pixel (see _SSAO_DILATE_TILES)."""
+    TS_H, TS_W = SSAO_TILE_H, SSAO_TILE_W
+    h, w = valid_half.shape
+    vp = jnp.pad(valid_half, ((0, nty * TS_H - h), (0, ntx * TS_W - w)))
+    tv = vp.reshape(nty, TS_H, ntx, TS_W).any(axis=(1, 3))  # (nty, ntx)
+    dy, dx = _SSAO_DILATE_TILES
+    occ = jnp.pad(tv, ((dy, dy), (dx, dx)))
+    out = jnp.zeros_like(tv)
+    for oy in range(2 * dy + 1):
+        for ox in range(2 * dx + 1):
+            out = out | occ[oy:oy + nty, ox:ox + ntx]
+    return out.reshape(-1)
+
+
+def _ssao_occlusion_compacted(scene: DeviceScene, consts: FrameConstants,
+                              cfg: RenderConfig, n_half, d_half, depth,
+                              valid) -> jnp.ndarray:
+    """Tile-compacted SSAO occlusion: the 14 tap gathers are issued ONLY
+    for (8, 128) half-res tiles within the blur/upsample support of a
+    covered pixel (same rationale and shape as _resolve_compacted — the
+    gather engine pays per ISSUED row, so sky rows can only get cheaper
+    by not being issued).
+
+    EXACT on the full access map up to XLA constant-folding fp noise
+    (measured <= 3e-6, zero when compared inside one jit): the fill for
+    skipped tiles is 1.0, and a skipped pixel's true occlusion IS
+    exactly 1.0 — its 14 taps only ever read far-plane depth (depth
+    clears to 1.0; the border is opaque white 1.0; a tap's projected
+    footprint is occlusionRadius*proj/z <= ~7 full-res texels at the far
+    plane, far inside the 16-half-res-px dilation), so dist_z == 0 <
+    surface_eps and occ == 0 for every tap. The residual noise source:
+    the full-grid path's pixel uv is a compile-time constant XLA folds
+    through the ray/projection FMAs, while the compacted uv derives from
+    the runtime tile list. cfg.ssao_tile_capacity (CB)
+    is autosized by Renderer with the same check_capacity guard as the
+    pair capacities (the bound counts bbox-occupancy tiles + dilation,
+    a superset of covered tiles)."""
+    TS_H, TS_W = SSAO_TILE_H, SSAO_TILE_W
+    h, w = d_half.shape
+    k = cfg.ssao_scale
+    nty, ntx = -(-h // TS_H), -(-w // TS_W)
+    NT = nty * ntx
+    LANES = TS_H * TS_W
+    # half-res validity: any covered full-res pixel in the k x k block
+    vh = valid[: h * k, : w * k].reshape(h, k, w, k).any(axis=(1, 3))
+    tv = _ssao_tile_occupancy(vh, nty, ntx)
+
+    CB = min(int(cfg.ssao_tile_capacity), NT)
+    pos = jnp.cumsum(tv.astype(jnp.int32)) - 1
+    kept = jnp.full((CB,), NT, jnp.int32)
+    kept = kept.at[jnp.where(tv, pos, CB)].set(
+        jnp.arange(NT, dtype=jnp.int32), mode="drop")
+
+    def tileify(a, pad_value):
+        a = a[..., None] if a.ndim == 2 else a
+        ap = jnp.pad(a, ((0, nty * TS_H - h), (0, ntx * TS_W - w), (0, 0)),
+                     constant_values=pad_value)
+        t = ap.reshape(nty, TS_H, ntx, TS_W, -1).transpose(0, 2, 1, 3, 4)
+        return t.reshape(NT, LANES, -1)
+
+    # ONE packed (d, n, random_field) tile table + sentinel fill tile
+    stack = jnp.concatenate([
+        tileify(d_half, 1.0), tileify(n_half, 0.0),
+        tileify(scene.ssao_random_field, 0.0)], axis=-1)  # (NT, LANES, 7)
+    fill = jnp.asarray([1.0, 0, 0, 1.0, 0, 0, 0], stack.dtype)
+    stack = jnp.concatenate(
+        [stack, jnp.broadcast_to(fill, (1, LANES, 7))])
+    sel = stack[kept]  # (CB, LANES, 7) — CB-row gather in
+    d_c, n_c, rf_c = sel[..., 0], sel[..., 1:4], sel[..., 4:7]
+
+    lane = jnp.arange(LANES, dtype=jnp.int32)[None, :]
+    x = (kept[:, None] % ntx) * TS_W + lane % TS_W
+    y = (jnp.minimum(kept[:, None] // ntx, nty - 1) * TS_H
+         + lane // TS_W)
+    U = (x.astype(jnp.float32) + 0.5) / w
+    V = (y.astype(jnp.float32) + 0.5) / h
+
+    acc = ssao_ops.ssao_occlusion(
+        n_c, d_c, consts.proj, consts.inv_proj, scene.ssao_offsets,
+        random_field=rf_c, tap_depth=depth, pixel_uv=(U, V))  # (CB, LANES)
+
+    # expand: gather-based inverse (see _resolve_compacted); overflow
+    # tiles (pos >= CB — guarded by check_capacity) take the 1.0 fill
+    accp = jnp.concatenate([acc, jnp.ones((1, LANES), acc.dtype)])
+    inv = jnp.where(tv & (pos < CB), pos, CB)
+    out = accp[inv].reshape(nty, ntx, TS_H, TS_W)
+    return out.transpose(0, 2, 1, 3).reshape(nty * TS_H,
+                                             ntx * TS_W)[:h, :w]
+
+
 def ssao_pass(scene: DeviceScene, consts: FrameConstants, cfg: RenderConfig,
-              normal_v: jnp.ndarray, depth: jnp.ndarray) -> jnp.ndarray:
-    """Half-res occlusion + N two-pass bilateral blurs -> (h, w) access."""
+              normal_v: jnp.ndarray, depth: jnp.ndarray,
+              valid: jnp.ndarray = None) -> jnp.ndarray:
+    """Half-res occlusion + N two-pass bilateral blurs -> (h, w) access.
+
+    valid: optional (H, W) full-res coverage (tid >= 0). With
+    cfg.ssao_tile_capacity set, occlusion tap gathers are issued only
+    for occupied tiles (exact to <=3e-6 — see
+    _ssao_occlusion_compacted)."""
     n_half, d_half = ssao_inputs_half(cfg, normal_v, depth)
-    access = ssao_ops.ssao_occlusion(
-        n_half, d_half, consts.proj, consts.inv_proj,
-        scene.ssao_offsets, random_field=scene.ssao_random_field,
-        tap_depth=depth)  # full-res taps (Ssao.hlsl samples the full
-    # depth buffer with the linear border-white gsamDepthMap)
+    if cfg.ssao_tile_capacity and valid is not None:
+        access = _ssao_occlusion_compacted(scene, consts, cfg, n_half,
+                                           d_half, depth, valid)
+    else:
+        access = ssao_ops.ssao_occlusion(
+            n_half, d_half, consts.proj, consts.inv_proj,
+            scene.ssao_offsets, random_field=scene.ssao_random_field,
+            tap_depth=depth)  # full-res taps (Ssao.hlsl samples the full
+        # depth buffer with the linear border-white gsamDepthMap)
     return ssao_blur(scene, consts, cfg, access, n_half, d_half)
 
 
@@ -816,6 +931,47 @@ def _upsample_bilinear(img: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # Lighting + sky
 # ---------------------------------------------------------------------------
+
+def _pcf_factor_compacted(cfg: RenderConfig, pos_w, valid, sf_fn):
+    """Tile-compacted cascade PCF factor: the per-pixel window gathers
+    are issued only for (8, 128) tiles containing a covered pixel. The
+    factor is POINTWISE (no blur), so the needed set is exactly the
+    resolve's shade tiles and cfg.shade_tile_capacity is reused. Output
+    equals the dense map: live pixels evaluate identical math on
+    identical values; dead (sky) pixels are 1.0 under the dense path's
+    dead= mask and 1.0 via the skipped-tile fill here."""
+    TS_H, TS_W = SHADE_TILE_H, SHADE_TILE_W
+    H, W = valid.shape
+    nty, ntx = -(-H // TS_H), -(-W // TS_W)
+    NT, LANES = nty * ntx, TS_H * TS_W
+
+    def tileify(a, pad_value):
+        a = a[..., None] if a.ndim == 2 else a
+        ap = jnp.pad(a, ((0, nty * TS_H - H), (0, ntx * TS_W - W), (0, 0)),
+                     constant_values=pad_value)
+        t = ap.reshape(nty, TS_H, ntx, TS_W, -1).transpose(0, 2, 1, 3, 4)
+        return t.reshape(NT, LANES, -1)
+
+    stack = jnp.concatenate(
+        [tileify(pos_w, 0.0),
+         tileify(valid.astype(pos_w.dtype), 0.0)], axis=-1)  # (NT, L, 4)
+    tv = stack[..., 3].max(axis=1) > 0.5
+    CB = min(int(cfg.shade_tile_capacity), NT)
+    pos = jnp.cumsum(tv.astype(jnp.int32)) - 1
+    kept = jnp.full((CB,), NT, jnp.int32)
+    kept = kept.at[jnp.where(tv, pos, CB)].set(
+        jnp.arange(NT, dtype=jnp.int32), mode="drop")
+    stack = jnp.concatenate(
+        [stack, jnp.zeros((1, LANES, 4), stack.dtype)])
+    sel = stack[kept]  # (CB, LANES, 4) — CB-row gather in
+    f = sf_fn(sel[..., :3], sel[..., 3] < 0.5)  # (CB, LANES)
+
+    fp = jnp.concatenate([f, jnp.ones((1, LANES), f.dtype)])
+    inv = jnp.where(tv & (pos < CB), pos, CB)
+    out = fp[inv].reshape(nty, ntx, TS_H, TS_W)
+    return out.transpose(0, 2, 1, 3).reshape(nty * TS_H,
+                                             ntx * TS_W)[:H, :W]
+
 
 def lighting_pass(scene: DeviceScene, consts: FrameConstants,
                   cfg: RenderConfig, g: dict, shadow_maps, ambient_access,
@@ -858,11 +1014,22 @@ def lighting_pass(scene: DeviceScene, consts: FrameConstants,
                 dead=~g["valid"][::2, ::2])
             sf = _upsample_bilinear(sf_half, H, W)
         else:
-            sf = shadows.cascade_shadow_factor(
-                shadow_maps, consts.shadow_transforms, pos_w, consts.eye_pos,
-                cfg.shadow_map_size, deferred_blend_quirk=cfg.deferred,
-                soft_radius_texels=cfg.pcf_radius_texels,
-                dead=~g["valid"])
+            def sf_fn(pw, dd):
+                return shadows.cascade_shadow_factor(
+                    shadow_maps, consts.shadow_transforms, pw,
+                    consts.eye_pos, cfg.shadow_map_size,
+                    deferred_blend_quirk=cfg.deferred,
+                    soft_radius_texels=cfg.pcf_radius_texels, dead=dd)
+
+            if cfg.shade_tile_capacity and row_offset == 0 \
+                    and full_height == H:
+                # single-chip: issue the PCF window gathers only for
+                # covered tiles (the band path keeps the dense form —
+                # its per-band occupancy is not what shade_tile_capacity
+                # was sized for)
+                sf = _pcf_factor_compacted(cfg, pos_w, g["valid"], sf_fn)
+            else:
+                sf = sf_fn(pos_w, ~g["valid"])
         sf = sf[..., None]
     else:
         sf = jnp.ones_like(roughness)
@@ -1179,6 +1346,7 @@ def capacity_requirements(scene: DeviceScene, consts: FrameConstants,
         sb = rz._tile_bbox(tris, cfg.width, cfg.height, SHADE_TILE_H,
                            SHADE_TILE_W)
         shade_occ = tile_counts(*sb) > 0
+    a_tris = None
     if cfg.alpha_test_enabled and scene.alpha is not None:
         # alpha_merge_main can set tid >= 0 in tiles no OPAQUE bbox
         # touches (fence over sky), so the AT layer's bboxes must count
@@ -1189,6 +1357,28 @@ def capacity_requirements(scene: DeviceScene, consts: FrameConstants,
                            SHADE_TILE_W)
         shade_occ = shade_occ | (tile_counts(*ab) > 0)
     shade_tiles = shade_occ.sum()
+
+    # occupied-SSAO-tile bound (the compacted occlusion's tile grid is
+    # (8, 128) HALF-res pixels = (8k, 128k) full-res; bbox occupancy is
+    # a superset of coverage, dilated like the frame's occupancy)
+    ssao_tiles = jnp.int32(0)
+    if cfg.ssao_enabled:
+        kk = cfg.ssao_scale
+        sob = rz._tile_bbox(tris, cfg.width, cfg.height,
+                            SSAO_TILE_H * kk, SSAO_TILE_W * kk)
+        socc = tile_counts(*sob) > 0
+        if a_tris is not None:
+            sab = rz._tile_bbox(a_tris, cfg.width, cfg.height,
+                                SSAO_TILE_H * kk, SSAO_TILE_W * kk)
+            socc = socc | (tile_counts(*sab) > 0)
+        dy, dx = _SSAO_DILATE_TILES
+        sp = jnp.pad(socc, ((dy, dy), (dx, dx)))
+        sdil = jnp.zeros_like(socc)
+        for oy in range(2 * dy + 1):
+            for ox in range(2 * dx + 1):
+                sdil = sdil | sp[oy:oy + socc.shape[0],
+                                 ox:ox + socc.shape[1]]
+        ssao_tiles = sdil.sum()
 
     S = cfg.shadow_map_size
     C = cfg.num_cascades
@@ -1215,7 +1405,7 @@ def capacity_requirements(scene: DeviceScene, consts: FrameConstants,
     return dict(main_pairs=main_pairs, shadow_pairs=shadow_pairs,
                 main_max_tile=main_max_tile,
                 shadow_max_tile=shadow_max_tile,
-                shade_tiles=shade_tiles)
+                shade_tiles=shade_tiles, ssao_tiles=ssao_tiles)
 
 
 # ---------------------------------------------------------------------------
@@ -1253,7 +1443,8 @@ def render_frame(scene: DeviceScene, consts: FrameConstants,
         shadow_maps = jnp.ones((cfg.num_cascades, 2, 2), jnp.float32)
 
     if cfg.ssao_enabled:
-        access_half = ssao_pass(scene, consts, cfg, g["normal_v"], depth)
+        access_half = ssao_pass(scene, consts, cfg, g["normal_v"], depth,
+                                valid=tid >= 0)
         ambient_access = _upsample_bilinear(access_half, H, W)
     else:
         ambient_access = jnp.ones((H, W), jnp.float32)

@@ -65,3 +65,71 @@ def test_shade_tiles_count_alpha_layer():
         fr.capacity_requirements, cfg=cfg_off))(r.device_scene, consts)
     assert int(req["shade_tiles"]) > int(req_off["shade_tiles"]), (
         int(req["shade_tiles"]), int(req_off["shade_tiles"]))
+
+
+def test_ssao_compaction_bit_exact():
+    """Tile-compacted SSAO occlusion == the full-grid pass on the WHOLE
+    access map (sky tiles' true occlusion is 1.0 — see
+    _ssao_occlusion_compacted) to fp-folding noise (<= 1e-5; the
+    full-grid path's constant pixel uv folds through the ray FMAs
+    differently than the compacted runtime uv), with a camera pitched up
+    so a band of pure-sky tiles is actually skipped."""
+    import functools
+
+    import jax
+    import numpy as np
+
+    from crychic_renderer_tpu.passes import frame as fr
+    from crychic_renderer_tpu.ops import rasterizer as rz
+
+    r = Renderer(build_cascade_scene(),
+                 _cfg(width=768, height=256, ssao_enabled=True,
+                      shadows_enabled=True, shadow_map_size=256,
+                      shadow_pair_capacity=1 << 17, shadow_bin_cap=512))
+    r.camera.look_at((0.0, 4.0, -20.0), (0.0, 10.0, 0.0), (0.0, 1.0, 0.0))
+    r._autosize_capacity()
+    cfg = r.cfg
+    assert cfg.ssao_tile_capacity, cfg
+    req = r.check_capacity(0.0)
+    nt = (-(-cfg.ssao_height // fr.SHADE_TILE_H)
+          * -(-cfg.ssao_width // fr.SHADE_TILE_W))
+    assert req["ssao_tiles"] < nt, (req["ssao_tiles"], nt)
+
+    scene, consts = r.device_scene, r.frame_constants(0.0)
+
+    def access(scene, consts, cfg):
+        tris, tri_attr = fr.main_view_tris(scene, consts, cfg)
+        bins = rz.bin_triangles(tris, cfg.width, cfg.height,
+                                cfg.pair_capacity)
+        depth, tid = rz.rasterize_binned(tris, bins, cfg.width,
+                                         cfg.height, cfg.bin_cap)
+        g = fr.resolve_gbuffer(scene, consts, cfg, tris, depth, tid,
+                               tri_attr)
+        return fr.ssao_pass(scene, consts, cfg, g["normal_v"], depth,
+                            valid=tid >= 0)
+
+    a_comp = np.asarray(jax.jit(functools.partial(
+        access, cfg=cfg))(scene, consts))
+    cfg_full = dataclasses.replace(cfg, ssao_tile_capacity=None)
+    a_full = np.asarray(jax.jit(functools.partial(
+        access, cfg=cfg_full))(scene, consts))
+    np.testing.assert_allclose(a_comp, a_full, atol=1e-5, rtol=0)
+    # the skipped-tile region must be the exact 1.0 fill == true value
+    assert (a_comp == a_full).mean() > 0.5
+
+    # and the FULL frame (compacted resolve + SSAO + PCF factor) matches
+    # the dense path to fp-folding noise
+    img_c = np.asarray(jax.jit(functools.partial(
+        fr.render_frame, cfg=cfg))(scene, consts))
+    cfg_dense = dataclasses.replace(cfg, shade_tile_capacity=None,
+                                    ssao_tile_capacity=None)
+    img_d = np.asarray(jax.jit(functools.partial(
+        fr.render_frame, cfg=cfg_dense))(scene, consts))
+    np.testing.assert_allclose(img_c, img_d, atol=1e-5, rtol=0)
+
+
+def test_ssao_tile_overflow_raises():
+    r = Renderer(build_cascade_scene(), _cfg(ssao_enabled=True))
+    r.cfg = dataclasses.replace(r.cfg, ssao_tile_capacity=1)
+    with pytest.raises(RuntimeError, match="ssao tile overflow"):
+        r.check_capacity(0.0)

@@ -77,8 +77,8 @@ def test_random_pose_pallas_xla_parity(renderer_pair, seed):
     # the pose must be inside both paths' sized capacities (else the
     # comparison could "pass" on identically-truncated geometry)
     t = 0.1 if config == 5 else 0.0  # t=0.1: animated slots have cycled
-    r_xla.check_capacity(t)
-    r_pl.check_capacity(t)
+    r_xla.ensure_capacity(t)  # grow-and-recompile if the pose outruns
+    r_pl.ensure_capacity(t)   # the 1.25x tile headroom
     a = r_xla.render_np(t)
     b = r_pl.render_np(t)
     assert np.isfinite(a).all() and np.isfinite(b).all()
@@ -106,7 +106,7 @@ def test_random_pose_sharded_parity(seed):
     cfg = dataclasses.replace(_small_cfg(cfg), use_pallas=False)
     r = Renderer(scene, cfg, lights=lights)
     _apply_pose(r.camera, np.random.default_rng(100 + seed))
-    r.check_capacity(0.0)
+    r.ensure_capacity(0.0)
     cfg = r.cfg  # autosized capacities
     consts = r.frame_constants(0.0)
     single = np.asarray(jax.jit(functools.partial(

@@ -230,8 +230,17 @@ class Renderer:
         self._auto_capacity = auto_capacity
         if auto_capacity:
             self._autosize_capacity()
-        self._frame_fn = jax.jit(
-            functools.partial(fr.render_frame, cfg=self.cfg))
+        cfg = self.cfg
+        n_op = self.scene.opaque.num_instances
+        n_sh = self.scene.shadow.num_instances
+        n_al = (self.scene.alpha.num_instances
+                if self.scene.alpha is not None else 0)
+
+        def frame_packed(scene, packed):
+            consts = self._unpack_frame_constants(packed, n_op, n_sh, n_al)
+            return fr.render_frame(scene, consts, cfg)
+
+        self._frame_fn = jax.jit(frame_packed)
         self._stats = []
 
     def capacity_requirements(self, total_time: float = 0.0) -> dict:
@@ -324,8 +333,17 @@ class Renderer:
         called after any external mutation of self.cfg (the jit binds the
         cfg at construction; a stale binding silently renders with the
         old settings)."""
-        self._frame_fn = jax.jit(
-            functools.partial(fr.render_frame, cfg=self.cfg))
+        cfg = self.cfg
+        n_op = self.scene.opaque.num_instances
+        n_sh = self.scene.shadow.num_instances
+        n_al = (self.scene.alpha.num_instances
+                if self.scene.alpha is not None else 0)
+
+        def frame_packed(scene, packed):
+            consts = self._unpack_frame_constants(packed, n_op, n_sh, n_al)
+            return fr.render_frame(scene, consts, cfg)
+
+        self._frame_fn = jax.jit(frame_packed)
 
     def ensure_capacity(self, total_time: float = 0.0):
         """check_capacity, but GROW instead of raising: when the pose
@@ -383,7 +401,10 @@ class Renderer:
         return cam
 
     # -- per-frame host update (CRYCHIC::Update) ---------------------------
-    def frame_constants(self, total_time: float = 0.0) -> fr.FrameConstants:
+    def frame_constants_np(self,
+                           total_time: float = 0.0) -> fr.FrameConstants:
+        """Per-frame constants with HOST numpy leaves (the packed
+        single-transfer render path consumes these directly)."""
         cam = self.camera
         view = cam.view
         proj = cam.proj
@@ -391,21 +412,37 @@ class Renderer:
 
         opaque_vis = self._visibility(self.scene.opaque)
         shadow_vis = self._visibility(self.scene.shadow)
-        alpha_vis = (jnp.asarray(self._visibility(self.scene.alpha))
+        alpha_vis = (self._visibility(self.scene.alpha)
                      if self.scene.alpha is not None else None)
 
         return fr.FrameConstants(
             alpha_visibility=alpha_vis,
-            view=jnp.asarray(view),
-            proj=jnp.asarray(proj),
-            view_proj=jnp.asarray(view @ proj),
-            inv_proj=jnp.asarray(np.linalg.inv(proj)),
-            eye_pos=jnp.asarray(cam.position),
-            cascade_view_projs=jnp.asarray(ct.view_projs),
-            shadow_transforms=jnp.asarray(ct.shadow_transforms),
-            opaque_visibility=jnp.asarray(opaque_vis),
-            shadow_visibility=jnp.asarray(shadow_vis),
-            total_time=jnp.float32(total_time),
+            view=view.astype(np.float32),
+            proj=proj.astype(np.float32),
+            view_proj=(view @ proj).astype(np.float32),
+            inv_proj=np.linalg.inv(proj).astype(np.float32),
+            eye_pos=cam.position.astype(np.float32),
+            cascade_view_projs=ct.view_projs.astype(np.float32),
+            shadow_transforms=ct.shadow_transforms,
+            opaque_visibility=opaque_vis,
+            shadow_visibility=shadow_vis,
+            total_time=np.float32(total_time),
+        )
+
+    def frame_constants(self, total_time: float = 0.0) -> fr.FrameConstants:
+        c = self.frame_constants_np(total_time)
+        return fr.FrameConstants(
+            alpha_visibility=(jnp.asarray(c.alpha_visibility)
+                              if c.alpha_visibility is not None else None),
+            view=jnp.asarray(c.view), proj=jnp.asarray(c.proj),
+            view_proj=jnp.asarray(c.view_proj),
+            inv_proj=jnp.asarray(c.inv_proj),
+            eye_pos=jnp.asarray(c.eye_pos),
+            cascade_view_projs=jnp.asarray(c.cascade_view_projs),
+            shadow_transforms=jnp.asarray(c.shadow_transforms),
+            opaque_visibility=jnp.asarray(c.opaque_visibility),
+            shadow_visibility=jnp.asarray(c.shadow_visibility),
+            total_time=jnp.float32(c.total_time),
         )
 
     def _visibility(self, draw) -> np.ndarray:
@@ -437,10 +474,56 @@ class Renderer:
             pair[mat] = base + frame
         self.device_scene.mat_pair = jnp.asarray(pair)
 
+    # -- packed per-frame constants transfer --------------------------------
+    # FrameConstants is a 10-leaf pytree; shipping 10 small arrays per
+    # frame through the tunnel costs ~5-7 ms of per-transfer latency
+    # (measured 2026-08-21: config-1 loop 12.1 ms/frame with per-leaf
+    # transfers vs 5.0 with resident constants, while the fused frame is
+    # 5.0 ms of device work). The D3D12 analogue is the single
+    # UploadBuffer PassConstants write. render() therefore packs every
+    # leaf into ONE flat f32 vector (one transfer) and unpacks with free
+    # slices inside the jit.
+
+    def _pack_frame_constants(self, c: fr.FrameConstants) -> np.ndarray:
+        parts = [np.asarray(c.view, np.float32).ravel(),
+                 np.asarray(c.proj, np.float32).ravel(),
+                 np.asarray(c.view_proj, np.float32).ravel(),
+                 np.asarray(c.inv_proj, np.float32).ravel(),
+                 np.asarray(c.eye_pos, np.float32).ravel(),
+                 np.asarray(c.cascade_view_projs, np.float32).ravel(),
+                 np.asarray(c.shadow_transforms, np.float32).ravel(),
+                 np.float32([c.total_time]).ravel(),
+                 np.asarray(c.opaque_visibility, np.float32).ravel(),
+                 np.asarray(c.shadow_visibility, np.float32).ravel()]
+        if c.alpha_visibility is not None:
+            parts.append(np.asarray(c.alpha_visibility, np.float32).ravel())
+        return np.concatenate(parts)
+
+    def _unpack_frame_constants(self, packed, n_op: int, n_sh: int,
+                                n_al: int) -> fr.FrameConstants:
+        """Inverse of _pack_frame_constants; traced (pure slices)."""
+        o = [0]
+
+        def take(n, shape=None):
+            v = packed[o[0]:o[0] + n]  # static python offsets
+            o[0] += n
+            return v.reshape(shape) if shape else v
+
+        return fr.FrameConstants(
+            view=take(16, (4, 4)), proj=take(16, (4, 4)),
+            view_proj=take(16, (4, 4)), inv_proj=take(16, (4, 4)),
+            eye_pos=take(3), cascade_view_projs=take(64, (4, 4, 4)),
+            shadow_transforms=take(64, (4, 4, 4)),
+            total_time=take(1)[0],
+            opaque_visibility=take(n_op),
+            shadow_visibility=take(n_sh),
+            alpha_visibility=take(n_al) if n_al else None)
+
     def render(self, total_time: float = 0.0) -> jnp.ndarray:
         self._animate_materials(total_time)
-        consts = self.frame_constants(total_time)
-        return self._frame_fn(self.device_scene, consts)
+        packed = self._pack_frame_constants(self.frame_constants_np(
+            total_time))
+        return self._frame_fn(self.device_scene, jnp.asarray(packed))
 
     def viewer_step_fn(self, disp_rows: int, disp_cols: int):
         """One jitted dispatch for the interactive loop: the full frame,

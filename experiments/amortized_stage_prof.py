@@ -90,25 +90,31 @@ def main():
     t_resolve = amortized(mk_g, sc, consts, tris, depth, tid, tri_attr)
     t_atlas = amortized(mk_atlas, sc, consts)
 
-    def ssao(sc, consts, nv, depth):
-        return fr.ssao_pass(sc, consts, cfgr, nv, depth)
+    def ssao(sc, consts, nv, depth, tid):
+        return fr.ssao_pass(sc, consts, cfgr, nv, depth, valid=tid >= 0)
 
-    t_ssao = amortized(ssao, sc, consts, g["normal_v"], depth)
+    t_ssao = amortized(ssao, sc, consts, g["normal_v"], depth, tid)
 
-    def pcf(sm, consts, pos_w):
-        return shadows.cascade_shadow_factor(
-            sm, consts.shadow_transforms, pos_w, consts.eye_pos,
-            cfgr.shadow_map_size, deferred_blend_quirk=cfgr.deferred)
+    def pcf(sm, consts, pos_w, valid):
+        def sf_fn(pw, dd):
+            return shadows.cascade_shadow_factor(
+                sm, consts.shadow_transforms, pw, consts.eye_pos,
+                cfgr.shadow_map_size, deferred_blend_quirk=cfgr.deferred,
+                dead=dd)
+        if cfgr.shade_tile_capacity:
+            return fr._pcf_factor_compacted(cfgr, pos_w, valid, sf_fn)
+        return sf_fn(pos_w, ~valid)
 
-    t_pcf = amortized(pcf, shadow_maps, consts, g["pos_w"])
+    t_pcf = amortized(pcf, shadow_maps, consts, g["pos_w"], tid >= 0)
 
     @jax.jit
-    def mk_access(sc, consts, nv, depth):
+    def mk_access(sc, consts, nv, depth, tid):
         return fr._upsample_bilinear(
-            fr.ssao_pass(sc, consts, cfgr, nv, depth), H, W)
+            fr.ssao_pass(sc, consts, cfgr, nv, depth, valid=tid >= 0),
+            H, W)
 
     access = jax.block_until_ready(
-        mk_access(sc, consts, g["normal_v"], depth))
+        mk_access(sc, consts, g["normal_v"], depth, tid))
 
     def light(sc, consts, g, sm, access, depth):
         return fr.lighting_pass(sc, consts, cfgr, g, sm, access, depth)
@@ -122,7 +128,8 @@ def main():
 
     # lighting minus its internal PCF (staged separately above): pass a
     # precomputed shadow factor
-    sf = jax.block_until_ready(jax.jit(pcf)(shadow_maps, consts, g["pos_w"]))
+    sf = jax.block_until_ready(jax.jit(pcf)(shadow_maps, consts,
+                                        g["pos_w"], tid >= 0))
 
     def light_nopcf(sc, consts, g, sm, access, depth, sf):
         return fr.lighting_pass(sc, consts, cfgr, g, sm, access, depth,

@@ -22,6 +22,13 @@ import sys
 
 import numpy as np
 
+if os.environ.get("FAST_QUALITY_CPU"):
+    # sitecustomize force-selects the axon TPU at interpreter start; the
+    # env var alone does not override it (CLAUDE.md gotchas)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, "/root/repo")
 
 

@@ -133,3 +133,18 @@ def test_ssao_tile_overflow_raises():
     r.cfg = dataclasses.replace(r.cfg, ssao_tile_capacity=1)
     with pytest.raises(RuntimeError, match="ssao tile overflow"):
         r.check_capacity(0.0)
+
+
+def test_ensure_capacity_grows_and_recompiles():
+    """ensure_capacity: a pose that outruns the 1.25x tile headroom must
+    GROW the capacities (re-autosize + rebind) instead of raising, and
+    the regrown renderer must pass check_capacity."""
+    r = Renderer(build_cascade_scene(), _cfg(ssao_enabled=True))
+    # cripple the capacities so the initial pose overflows
+    r.cfg = dataclasses.replace(r.cfg, pair_capacity=16)
+    r.rebind_frame_fn()
+    with pytest.raises(RuntimeError):
+        r.check_capacity(0.0)
+    req = r.ensure_capacity(0.0)
+    assert r.cfg.pair_capacity >= req["main_pairs"]
+    r.check_capacity(0.0)  # must not raise
